@@ -1,0 +1,150 @@
+"""Vectorized 64-bit integer hashing kernels (NumPy, wraparound uint64).
+
+The reference uses a small family of integer mixers (thomas_mueller,
+murmur3 fmix, splitmix-style; /root/reference/src/hash_int.h:39-181) as
+its k-mer -> feature hash. We use the public splitmix64 / murmur3
+fmix64 finalizers, vectorized over uint64 numpy arrays. All arithmetic
+is modulo 2**64 (numpy unsigned wraparound), fully deterministic across
+platforms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+_FM_M1 = U64(0xFF51AFD7ED558CCD)
+_FM_M2 = U64(0xC4CEB9FE1A85EC53)
+
+_S30, _S27, _S31, _S33 = U64(30), U64(27), U64(31), U64(33)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """splitmix64 finalizer (public constants), vectorized."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=U64) + _SM_GAMMA
+        z = (z ^ (z >> _S30)) * _SM_M1
+        z = (z ^ (z >> _S27)) * _SM_M2
+        return z ^ (z >> _S31)
+
+
+def murmur3_fmix64(x: np.ndarray | int) -> np.ndarray:
+    """murmur3 64-bit finalizer (cf. reference hash_int.h:66-74), vectorized."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=U64)
+        z = (z ^ (z >> _S33)) * _FM_M1
+        z = (z ^ (z >> _S33)) * _FM_M2
+        return z ^ (z >> _S33)
+
+
+def mix2(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Combine two u64 hash streams into one (order-sensitive)."""
+    return murmur3_fmix64(np.asarray(a, dtype=U64) ^ splitmix64(b))
+
+
+def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
+    """Deterministic u64 hash of a byte string (FNV-1a 64 + fmix64)."""
+    h = 0xCBF29CE484222325 ^ (seed & 0xFFFFFFFFFFFFFFFF)
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return int(murmur3_fmix64(U64(h)))
+
+
+def hash_str_column(strings, seed: int = 0) -> np.ndarray:
+    """Vectorized u64 hash of a column of strings / bytes.
+
+    Used for stable ids (doc_id = hash(url)) and content hashes
+    (text_hash). Delegates to pandas' vectorized stable string hash
+    (siphash, fixed key) then re-mixes with the seed — deterministic
+    across runs and processes.
+    """
+    import pandas as pd
+    from pandas.util import hash_pandas_object
+
+    s = pd.Series(list(strings), dtype="object")
+    base = hash_pandas_object(s, index=False, categorize=False).to_numpy(dtype=U64)
+    return murmur3_fmix64(base ^ splitmix64(U64(seed & 0xFFFFFFFFFFFFFFFF)))
+
+
+# ---------------------------------------------------------------------------
+# Rolling char-shingle hashing — the analog of the reference's 2-bit k-mer
+# encoder + integer hash (/root/reference/src/dna_encoding.h:303-348 +
+# hash_int.h). Fully vectorized over a concatenated byte buffer.
+# ---------------------------------------------------------------------------
+
+def _shingle_pow_vector(k: int, seed: int) -> np.ndarray:
+    """Per-position multipliers for the k-gram polynomial hash."""
+    base = splitmix64(np.arange(k, dtype=U64) + U64(seed & 0xFFFFFFFF))
+    # force odd multipliers so no position is annihilated mod 2**64
+    return base | U64(1)
+
+
+def rolling_shingle_hashes(buf: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+    """u64 hash of every k-byte window of ``buf`` (uint8 array).
+
+    Returns an array of length ``len(buf) - k + 1`` (empty if shorter).
+    Computed as a windowed dot-product with per-position odd multipliers
+    (wraparound u64) followed by an fmix64 finalizer — O(n*k) vectorized,
+    no Python loop.
+    """
+    n = buf.shape[0]
+    if n < k:
+        return np.empty(0, dtype=U64)
+    pows = _shingle_pow_vector(k, seed)
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(U64)
+    with np.errstate(over="ignore"):
+        vals = (win * pows).sum(axis=1, dtype=U64)
+    return murmur3_fmix64(vals)
+
+
+def concat_shingle_hashes(
+    texts: list[bytes], k: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle-hash a whole batch of documents in one vectorized pass.
+
+    Concatenates all docs into one byte buffer, computes every k-gram
+    hash, then masks out windows that span a document boundary. Docs
+    shorter than ``k`` contribute a single whole-text hash so that every
+    document has at least one shingle (mirrors the reference's handling
+    of short windows, /root/reference/src/dna_encoding.h:286-288).
+
+    Returns ``(hashes, offsets)`` where ``offsets`` has length
+    ``len(texts)+1`` and doc i's shingles are ``hashes[offsets[i]:offsets[i+1]]``.
+    """
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    if len(texts) == 0:
+        return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    all_h = rolling_shingle_hashes(buf, k, seed)
+
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_shingles = np.maximum(lens - k + 1, 0)
+
+    out_counts = np.where(n_shingles > 0, n_shingles, 1)
+    offsets = np.concatenate([[0], np.cumsum(out_counts)])
+    out = np.empty(offsets[-1], dtype=U64)
+
+    # gather valid windows per doc via a single fancy index
+    has = n_shingles > 0
+    if has.any():
+        # index of every in-doc window: for doc i, windows starts[i] .. starts[i]+n_shingles[i]-1
+        doc_idx = np.repeat(np.arange(len(texts))[has], n_shingles[has])
+        within = np.concatenate([np.arange(c) for c in n_shingles[has]])
+        src = starts[doc_idx] + within
+        dst = offsets[:-1][doc_idx] + within
+        out[dst] = all_h[src]
+    if (~has).any():
+        for i in np.flatnonzero(~has):
+            out[offsets[i]] = hash_bytes_u64(bytes(texts[i]), seed)
+    return out, offsets
+
+
+def minhash_perm_constants(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) constants for n_perms independent affine u64 permutations."""
+    a = splitmix64(np.arange(n_perms, dtype=U64) + U64((seed * 2 + 1) & 0xFFFFFFFFFFFFFFFF)) | U64(1)
+    b = splitmix64(np.arange(n_perms, dtype=U64) + U64((seed * 2 + 2) & 0xFFFFFFFFFFFFFFFF))
+    return a, b

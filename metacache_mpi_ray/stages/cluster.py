@@ -1,0 +1,105 @@
+"""Cluster assignment — verified edges -> (doc_id, cluster_id, is_dup).
+
+Two interchangeable implementations of connected components:
+
+* ``assign_clusters`` — driver-side union-find over the (small) verified
+  edge list, labels broadcast once via ``ray.put`` and applied to every
+  doc batch (the broadcast-small-side join pattern, SURVEY.md §2.4 J2).
+* ``propagate_min_labels`` — fully distributed iterative min-label
+  propagation over the edge list (for edge lists too large for one
+  process): each round joins current labels onto edges, takes per-node
+  min of neighbor labels, repeats to fixpoint. The analog of the
+  reference's tree-reduction candidate merge (/root/reference/src/
+  querying.h:892-1071) without the rank-0 bottleneck.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Min
+
+from metacache_mpi_ray.state.unionfind import labels_from_edges
+
+
+def assign_clusters(docs, edges, *, id_col: str = "doc_id"):
+    """docs + verified edges -> clusters dataset (doc_id, cluster_id, is_dup)."""
+    labels = labels_from_edges(edges)
+    labels_ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lab = ray.get(labels_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mapped = pd.Series(ids).map(lab)  # vectorized dict lookup
+        dup = mapped.notna().to_numpy()
+        out = mapped.fillna(pd.Series(ids)).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(out, type=pa.int64()),
+                "is_dup": pa.array(dup, type=pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
+    """Distributed connected components over an edge list.
+
+    Returns a Dataset (doc_id, cluster_id) covering every id that occurs
+    in an edge. Rounds: label(v) = min(label(v), min over neighbors u of
+    label(u)) until no label changes. Each round is two vectorized
+    map_batches + one groupby — O(diameter) rounds, which is tiny for
+    dedup clusters (near-cliques, usually 2-3 rounds).
+    """
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        lab = np.concatenate([np.minimum(a, b), np.minimum(a, b)])
+        return pa.table({"node": pa.array(node), "lab": pa.array(lab)})
+
+    # undirected edge list, symmetrized once
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # neighbor labels: join labels onto edge sources, emit to dst
+        lsrc = labels.rename_columns({"node": "src"})
+        prop = sym_edges.join(
+            lsrc, join_type="inner", num_partitions=num_partitions, on=("src",)
+        ).select_columns(["dst", "lab"]).rename_columns({"dst": "node"})
+        new_labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("lab", alias_name="lab"))
+            .materialize()
+        )
+        # fixpoint check: any label decreased?
+        old_sum = labels.sum("lab")
+        new_sum = new_labels.sum("lab")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.rename_columns({"node": "doc_id", "lab": "cluster_id"})

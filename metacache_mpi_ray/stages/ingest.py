@@ -1,0 +1,86 @@
+"""Ingest: pages/documents Parquet -> canonical ``docs`` dataset.
+
+Canonical docs schema:
+    doc_id:int64  (given, or stable 63-bit hash of url)
+    url:string
+    norm_text:string  (norm-v1 of resolved text)
+    text_hash:int64   (stable hash of norm_text bytes)
+    n_chars:int64     (len of norm_text)
+
+Analog of the reference's FASTA/FASTQ reader + target registration
+(/root/reference/src/sequence_io.cpp:100-221,
+/root/reference/src/sketch_database.h:489-563) — but as a stateless
+Arrow map_batches over a Parquet read, with ids derived from content
+keys (url), never from arrival order (SURVEY.md §2.9 determinism note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from metacache_mpi_ray.functions.hashing import hash_str_column
+from metacache_mpi_ray.functions.text import resolve_text_batch
+
+
+def _to_i63(u64: np.ndarray) -> np.ndarray:
+    """Mask a u64 hash to a non-negative int64 (SQL/Arrow friendly)."""
+    return (u64 >> np.uint64(1)).astype(np.int64)
+
+
+def _ingest_pages_batch(batch: pa.Table) -> pa.Table:
+    batch = resolve_text_batch(batch)
+    urls = batch["url"].to_pylist()
+    doc_id = _to_i63(hash_str_column(urls, seed=11))
+    norm = batch["norm_text"]
+    text_hash = _to_i63(hash_str_column(norm.to_pylist(), seed=22))
+    n_chars = pc.utf8_length(norm).cast(pa.int64())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "url": batch["url"],
+            "norm_text": norm,
+            "text_hash": pa.array(text_hash, type=pa.int64()),
+            "n_chars": n_chars,
+        }
+    )
+
+
+def _ingest_documents_batch(batch: pa.Table) -> pa.Table:
+    """Adapter for the driver's ``documents`` table (doc_id given)."""
+    from metacache_mpi_ray.functions.text import normalize_text_arrow
+
+    norm = normalize_text_arrow(batch["text"])
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    text_hash = _to_i63(hash_str_column(norm.to_pylist(), seed=22))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "url": pc.cast(batch["doc_id"], pa.string()),
+            "norm_text": norm,
+            "text_hash": pa.array(text_hash, type=pa.int64()),
+            "n_chars": pc.utf8_length(norm).cast(pa.int64()),
+        }
+    )
+
+
+def ingest_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """pages(url, warc_ts, html, text, lang) -> docs."""
+    return pages.map_batches(_ingest_pages_batch, batch_format="pyarrow")
+
+
+def ingest_documents(documents: "ray.data.Dataset") -> "ray.data.Dataset":
+    """documents(doc_id, text, ...) -> docs (driver testdata adapter)."""
+    return documents.map_batches(_ingest_documents_batch, batch_format="pyarrow")
+
+
+def read_docs(sf_dir: str, table: str = "documents") -> "ray.data.Dataset":
+    """Column-pruned read of a testdata table into canonical docs."""
+    if table == "documents":
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ingest_documents(ds)
+    raise ValueError(f"unknown docs table {table!r}")

@@ -1,0 +1,143 @@
+"""MinHash signature stage — the analog of the reference's sketcher.
+
+Reference: per-window bottom-s sketch of canonical k-mer hashes
+(/root/reference/src/hash_dna.h:104-152, k=16 / sketchlen=16,
+mode_build.cpp:65-68). Here: per-document 128-permutation MinHash over
+char-16-gram shingle hashes of norm-v1 text, computed fully vectorized
+across the whole batch:
+
+  1. concatenate all docs' bytes, hash every 16-byte window in one
+     sliding-window pass (functions/hashing.concat_shingle_hashes);
+  2. for each permutation p: vals = a_p * h + b_p (u64 wraparound),
+     sig[:, p] = np.minimum.reduceat(vals, doc_offsets)  — one
+     vectorized pass over ALL shingles in the batch per permutation.
+
+Duplicate shingles need no dedup for plain min-hash (min over a
+multiset equals min over its set), unlike the reference's bottom-s
+sketch which must keep distinct values (hash_dna.h:130-137).
+
+Stateful actor pool: permutation constants live in ``__init__`` (once
+per actor), not per batch (SURVEY.md §2.3 T3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.functions.hashing import (
+    U64,
+    concat_shingle_hashes,
+    minhash_perm_constants,
+)
+from metacache_mpi_ray.functions.text import texts_to_bytes
+
+
+def minhash_matrix(
+    texts: list[bytes], cfg: DedupConfig, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(ndocs, n_perms) u64 signature matrix for a batch of documents."""
+    n = len(texts)
+    sig = np.empty((n, cfg.n_perms), dtype=U64)
+    if n == 0:
+        return sig
+    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(cfg.n_perms):
+            vals = a[p] * hashes + b[p]
+            sig[:, p] = np.minimum.reduceat(vals, starts)
+    return sig
+
+
+def sig_to_arrow(sig: np.ndarray) -> pa.FixedSizeListArray:
+    """(n, P) u64 matrix -> fixed_size_list<uint64, P> column (zero-copy)."""
+    n, p = sig.shape
+    return pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), p)
+
+
+def sig_to_binary(sig: np.ndarray) -> pa.Array:
+    """(n, P) u64 matrix -> binary column of n x P*8-byte rows.
+
+    Arrow's hash join (acero) cannot carry list-typed payload columns,
+    so signatures ride through the verification joins as packed bytes.
+    """
+    n, p = sig.shape
+    flat = np.ascontiguousarray(sig).view(np.uint8).reshape(-1)
+    offsets = (np.arange(n + 1, dtype=np.int32) * (p * 8))
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())]
+    )
+
+
+def sig_from_binary(col: pa.Array | pa.ChunkedArray, n_perms: int) -> np.ndarray:
+    """binary column of packed signatures -> (n, P) u64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, n_perms), dtype=U64)
+    L = n_perms * 8
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    idx = offs[:-1, None].astype(np.int64) + np.arange(L, dtype=np.int64)[None, :]
+    rows = np.ascontiguousarray(data[idx])
+    return rows.view(U64).reshape(n, n_perms)
+
+
+def sig_from_arrow(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """fixed_size_list<uint64, P> column -> (n, P) u64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    p = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat).reshape(-1, p).astype(U64, copy=False)
+
+
+class MinHashSigner:
+    """Actor-pool stage: docs batch -> (doc_id, text_hash, n_chars, sig).
+
+    Permutation constants are derived once per actor from cfg.seed, so
+    every actor produces identical signatures for identical text
+    (determinism invariant, SURVEY.md §2.9).
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+        self.a, self.b = minhash_perm_constants(self.cfg.n_perms, self.cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = texts_to_bytes(batch["norm_text"])
+        sig = minhash_matrix(texts, self.cfg, self.a, self.b)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_hash": batch["text_hash"],
+                "n_chars": batch["n_chars"],
+                "sig": sig_to_arrow(sig),
+            }
+        )
+
+
+def compute_signatures(
+    docs, cfg: DedupConfig, *, concurrency: int | None = None, batch_size: int = 4096
+):
+    """docs -> signatures dataset via a MinHashSigner actor pool.
+
+    Pool size defaults to (cluster CPUs - 2) so the read and shuffle
+    stages always have CPUs to run on (an actor pool reserves its CPUs
+    even while idle — sizing it to the whole node deadlocks the
+    streaming executor)."""
+    from metacache_mpi_ray.functions.resources import default_actor_concurrency
+
+    if concurrency is None:
+        concurrency = default_actor_concurrency(reserve=2)
+    return docs.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,129 @@
+"""SimHash near-duplicate detection — the alternate sketch family.
+
+64-bit SimHash over char-shingle hashes: each shingle votes its bit
+pattern (+1/-1 per bit); the sign of the summed votes is the signature.
+Near-dups are pairs within ``simhash_hamming`` bits; candidate
+generation splits the 64 bits into (hamming+1) blocks — any pair within
+distance h must agree exactly on at least one block (pigeonhole), so a
+groupby per block finds all candidates, mirroring the LSH-band shuffle.
+
+Fully vectorized: votes accumulate via np.add.reduceat over the
+batch-concatenated shingle stream (same layout trick as MinHash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.functions.hashing import U64, concat_shingle_hashes
+from metacache_mpi_ray.functions.text import texts_to_bytes
+from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+
+
+def simhash_matrix(texts: list[bytes], cfg: DedupConfig) -> np.ndarray:
+    """(n,) u64 simhash per document."""
+    n = len(texts)
+    out = np.zeros(n, dtype=U64)
+    if n == 0:
+        return out
+    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+    starts = offsets[:-1]
+    counts = np.diff(offsets)
+    # per bit: ones = sum of that bit over the doc's shingles; the vote
+    # sum is 2*ones - count, positive iff 2*ones > count. One vectorized
+    # reduceat pass per bit keeps memory at O(M), not O(M*64).
+    for j in range(64):
+        ones = np.add.reduceat(((hashes >> U64(j)) & U64(1)).astype(np.int64), starts)
+        out |= ((2 * ones > counts).astype(U64) << U64(j))
+    return out
+
+
+def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+
+
+class SimHasher:
+    """Actor-pool stage: docs -> (doc_id, simhash)."""
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = simhash_matrix(texts_to_bytes(batch["norm_text"]), self.cfg)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                # bit-preserving reinterpret u64 -> i64 (SQL/Arrow friendly)
+                "simhash": pa.array(sh.view(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def simhash_block_rows(cfg: DedupConfig):
+    """simhashes -> (block_id, block_val, doc_id, simhash) rows, one per
+    bit-block (pigeonhole candidate key)."""
+    n_blocks = cfg.simhash_hamming + 1
+    width = 64 // n_blocks
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(sh)
+        blocks = []
+        for j in range(n_blocks):
+            shift = np.uint64(j * width)
+            mask = np.uint64((1 << width) - 1)
+            blocks.append(((sh >> shift) & mask).astype(np.int64))
+        block_val = np.concatenate(blocks)
+        return pa.table(
+            {
+                "block_id": pa.array(np.repeat(np.arange(n_blocks, dtype=np.int64), n)),
+                "block_val": pa.array(block_val),
+                "doc_id": pa.array(np.tile(batch["doc_id"].to_numpy(zero_copy_only=False), n_blocks)),
+            }
+        )
+
+    return emit
+
+
+def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int = 16):
+    """docs -> candidate edges within simhash Hamming distance, verified
+    exactly (Hamming check on the full 64-bit signatures via join)."""
+    from metacache_mpi_ray.config import DedupConfig as _C
+
+    from metacache_mpi_ray.functions.resources import default_actor_concurrency
+
+    cfg = cfg or _C()
+    sims = docs.map_batches(
+        SimHasher, fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=default_actor_concurrency(reserve=2), num_cpus=1,
+    ).materialize()
+    blocks = sims.map_batches(simhash_block_rows(cfg), batch_format="pyarrow")
+    edges = bucket_edges(
+        blocks, key_cols=["block_id", "block_val"], id_col="doc_id",
+        cap=cfg.bucket_cap, num_partitions=num_partitions,
+    )
+    edges = dedupe_edges(edges, num_partitions=num_partitions)
+    sa = sims.rename_columns({"doc_id": "a", "simhash": "sim_a"})
+    sb = sims.rename_columns({"doc_id": "b", "simhash": "sim_b"})
+    j = edges.join(sa, join_type="inner", num_partitions=num_partitions, on=("a",))
+    j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("b",))
+    hmax = cfg.simhash_hamming
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["sim_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        b = batch["sim_b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        d = hamming_distance_u64(a, b) if len(a) else np.empty(0, dtype=np.int64)
+        keep = d <= hmax
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "hamming": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")

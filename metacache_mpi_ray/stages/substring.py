@@ -1,0 +1,194 @@
+"""Exact long-match substring dedup — the analog of the reference's
+semi-global alignment verification stage (/root/reference/src/
+alignment.h:52-299, used at classification.cpp:77-103): after sketch-
+based candidates, an exact character-level check confirms real overlap.
+
+Two layers:
+
+1. ``anchor_candidates`` — corpus-wide: every doc emits sampled exact
+   ``anchor_len``-char anchors (keep a window's rolling hash when
+   ``hash % anchor_mod == 0`` — winnowing-style deterministic sampling);
+   a groupby on the anchor hash yields docs sharing an exact span,
+   star-edges like the LSH stage. Because the anchor is an exact
+   64-char substring, a shared key IS an exact long match (up to 64-bit
+   hash collision, same risk class as the reference's feature hash).
+
+2. ``cluster_longest_common_substring`` — per-cluster: a suffix-array
+   (prefix-doubling, O(n log n), numpy argsort) over the concatenated
+   member texts computes the longest shared span per doc pair inside a
+   cluster via groupby(cluster).map_groups — the bounded per-group
+   refinement step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.functions.hashing import U64, rolling_shingle_hashes
+from metacache_mpi_ray.functions.text import texts_to_bytes
+from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+
+
+def anchor_rows(cfg: DedupConfig):
+    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64) rows."""
+    L, mod = cfg.anchor_len, cfg.anchor_mod
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = texts_to_bytes(batch["norm_text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_h, out_d = [], []
+        for i, t in enumerate(texts):
+            if len(t) < L:
+                continue
+            h = rolling_shingle_hashes(np.frombuffer(t, dtype=np.uint8), L, cfg.seed + 1)
+            sel = h[h % U64(mod) == 0]
+            if len(sel):
+                sel = np.unique(sel)
+                out_h.append(sel)
+                out_d.append(np.full(len(sel), ids[i], dtype=np.int64))
+        if not out_h:
+            return pa.table(
+                {"anchor_hash": pa.array([], type=pa.int64()),
+                 "doc_id": pa.array([], type=pa.int64())}
+            )
+        hh = (np.concatenate(out_h) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {"anchor_hash": pa.array(hh), "doc_id": pa.array(np.concatenate(out_d))}
+        )
+
+    return emit
+
+
+def anchor_candidates(docs, cfg: DedupConfig | None = None, *, num_partitions: int = 16):
+    """docs -> (a, b, n_bands_hit) edges of docs sharing >=1 exact anchor.
+
+    ``n_bands_hit`` here counts shared sampled anchors — a proxy for
+    shared-span length (each anchor covers anchor_len chars, sampled at
+    ~1/anchor_mod density)."""
+    cfg = cfg or DedupConfig()
+    rows = docs.map_batches(anchor_rows(cfg), batch_format="pyarrow")
+    edges = bucket_edges(
+        rows, key_cols=["anchor_hash"], id_col="doc_id",
+        cap=cfg.bucket_cap, num_partitions=num_partitions,
+    )
+    return dedupe_edges(edges, num_partitions=num_partitions)
+
+
+def substring_dup_edges(docs, cfg: DedupConfig | None = None, **kw):
+    """Edges whose shared exact span is plausibly >= min_match_len:
+    requires >= ceil((min_match_len - anchor_len) / anchor_len) shared
+    anchors at expected sampling density (conservative lower bound)."""
+    cfg = cfg or DedupConfig()
+    need = max(1, (cfg.min_match_len - cfg.anchor_len) // (cfg.anchor_len * 2))
+    edges = anchor_candidates(docs, cfg, **kw)
+    return edges.filter(expr=f"n_bands_hit >= {need}")
+
+
+# ---------------------------------------------------------------------------
+# suffix array (prefix doubling) + per-cluster longest common substring
+# ---------------------------------------------------------------------------
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8/int array via prefix doubling, O(n log n)
+    numpy (argsort per round)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    tmp = np.empty(n, dtype=np.int64)
+    while True:
+        # key = (rank[i], rank[i+k] or -1)
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        sa = order
+        # recompute ranks
+        tmp[sa[0]] = 0
+        prev_key = (rank[sa[:-1]], second[sa[:-1]])
+        cur_key = (rank[sa[1:]], second[sa[1:]])
+        newgrp = (cur_key[0] != prev_key[0]) | (cur_key[1] != prev_key[1])
+        tmp[sa[1:]] = np.cumsum(newgrp)
+        rank = tmp.copy()
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP array (linear, small Python loop — used only inside
+    per-cluster map_groups where n = cluster text size, bounded)."""
+    n = len(s)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    sl = s.tolist()
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and sl[i + h] == sl[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_len(a: bytes, b: bytes) -> int:
+    """Length of the longest exact common substring of a and b (suffix
+    array + LCP over the separated concatenation)."""
+    if not a or not b:
+        return 0
+    # separators outside byte range avoided by mapping to int16 with sentinels
+    arr = np.concatenate(
+        [
+            np.frombuffer(a, dtype=np.uint8).astype(np.int64) + 2,
+            [1],
+            np.frombuffer(b, dtype=np.uint8).astype(np.int64) + 2,
+        ]
+    )
+    sa = suffix_array(arr)
+    lcp = lcp_array(arr, sa)
+    na = len(a)
+    side = sa < na  # suffix starts in a (sentinel at index na belongs to neither)
+    side_a = sa < na
+    side_b = sa > na
+    best = 0
+    for r in range(1, len(sa)):
+        if (side_a[r] and side_b[r - 1]) or (side_b[r] and side_a[r - 1]):
+            if lcp[r] > best:
+                best = int(lcp[r])
+    return best
+
+
+def cluster_lcs_report(docs_with_clusters, *, min_cluster: int = 2, max_members: int = 16):
+    """groupby(cluster_id).map_groups: longest common substring between
+    the cluster representative and each member — per-cluster exact
+    refinement (bounded group sizes; larger groups sampled)."""
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < min_cluster:
+            return pd.DataFrame(
+                {"cluster_id": [], "doc_id": [], "lcs_with_rep": []}
+            ).astype({"cluster_id": "int64", "doc_id": "int64", "lcs_with_rep": "int64"})
+        g = g.sort_values("doc_id").head(max_members)
+        rep = g.iloc[0]
+        rep_text = rep["norm_text"].encode("utf-8")
+        rows = []
+        for _, r in g.iloc[1:].iterrows():
+            l = longest_common_substring_len(rep_text, r["norm_text"].encode("utf-8"))
+            rows.append((int(rep["cluster_id"]), int(r["doc_id"]), l))
+        return pd.DataFrame(rows, columns=["cluster_id", "doc_id", "lcs_with_rep"])
+
+    return docs_with_clusters.groupby("cluster_id").map_groups(
+        per_cluster, batch_format="pandas"
+    )

@@ -1,0 +1,137 @@
+"""Checkpointed stage outputs + resume — the analog of the reference's
+per-rank DB artifact write/read (/root/reference/src/sketch_database.h:
+858-999, mode_build.cpp:1076-1091), generalized to per-stage Parquet
+checkpoints with atomic rename and a config guard.
+
+Layout per pipeline run:
+
+    <ckpt_root>/
+      config.json                  # DedupConfig of the run (F4 fixture)
+      <stage>/                     # completed stage output (parquet dir)
+      <stage>.__tmp__/             # in-progress write (discarded on resume)
+      <stage>.done                 # completion marker (written after rename)
+
+Rules (mirrors the reference's DB version/type-width check,
+sketch_database.h:869-908):
+* a checkpoint root with a different config.json refuses to resume
+  (ConfigMismatch) — silent wrong-config reuse is the failure the
+  reference guards against;
+* a stage is reused iff its ``.done`` marker exists; partial writes are
+  invisible because data moves into place via a single atomic rename;
+* sharded stages (``shard=K`` subdirs) resume per shard, so a killed
+  run skips finished shards (the resumable-output requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import ray.data
+
+from metacache_mpi_ray.config import DedupConfig
+
+
+class ConfigMismatch(RuntimeError):
+    pass
+
+
+def init_checkpoint_root(root: str, cfg: DedupConfig) -> str:
+    """Create (or validate) a checkpoint root for this config."""
+    os.makedirs(root, exist_ok=True)
+    cfg_path = os.path.join(root, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            existing = f.read()
+        if existing != cfg.to_json():
+            raise ConfigMismatch(
+                f"checkpoint at {root} was written with a different config; "
+                "refusing to resume (delete the directory or change ckpt root)"
+            )
+    else:
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(cfg.to_json())
+        os.replace(tmp, cfg_path)
+    return root
+
+
+def stage_done(root: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(root, f"{stage}.done"))
+
+
+def checkpointed_stage(
+    root: str,
+    stage: str,
+    compute,  # () -> ray.data.Dataset
+    *,
+    read_columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Run ``compute()`` and persist its output under <root>/<stage>/,
+    or read the existing checkpoint if the stage already completed.
+
+    The write goes to <stage>.__tmp__/ first and is renamed into place,
+    then the .done marker is written — a crash at any point leaves
+    either no stage dir or a complete one, never a partial one.
+    """
+    final = os.path.join(root, stage)
+    marker = os.path.join(root, f"{stage}.done")
+    if stage_done(root, stage):
+        return ray.data.read_parquet(final, columns=read_columns)
+    tmp = os.path.join(root, f"{stage}.__tmp__")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds = compute()
+    ds.write_parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"stage": stage, "rows": None}, f)
+    os.replace(marker + ".tmp", marker)
+    return ray.data.read_parquet(final, columns=read_columns)
+
+
+def sharded_checkpointed_stage(
+    root: str,
+    stage: str,
+    shard_ids: list[int],
+    compute_shard,  # (shard_id) -> ray.data.Dataset
+    *,
+    read_columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Per-shard resumable stage: each shard is checkpointed atomically
+    under <root>/<stage>/shard=<k>/; finished shards are skipped on
+    resume (kill/restart test in tests/test_checkpoint.py)."""
+    stage_dir = os.path.join(root, stage)
+    os.makedirs(stage_dir, exist_ok=True)
+    for k in shard_ids:
+        sdir = os.path.join(stage_dir, f"shard={k}")
+        smarker = os.path.join(stage_dir, f"shard-{k}.done")
+        if os.path.exists(smarker):
+            continue
+        tmp = os.path.join(stage_dir, f"shard-{k}.__tmp__")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ds = compute_shard(k)
+        ds.write_parquet(tmp)
+        if os.path.exists(sdir):
+            shutil.rmtree(sdir)
+        os.replace(tmp, sdir)
+        with open(smarker + ".tmp", "w") as f:
+            f.write("done")
+        os.replace(smarker + ".tmp", smarker)
+    paths = [os.path.join(stage_dir, f"shard={k}") for k in shard_ids]
+    return ray.data.read_parquet(paths, columns=read_columns)
+
+
+def completed_shards(root: str, stage: str) -> list[int]:
+    stage_dir = os.path.join(root, stage)
+    if not os.path.isdir(stage_dir):
+        return []
+    out = []
+    for name in os.listdir(stage_dir):
+        if name.startswith("shard-") and name.endswith(".done"):
+            out.append(int(name[len("shard-") : -len(".done")]))
+    return sorted(out)
