@@ -1,0 +1,139 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query secs.
+
+Headline: the flagship MinHash/LSH near-dup clustering pipeline over a
+deterministic synthetic Common-Crawl-style pages corpus (BASELINE.json
+input_hint shape; generated once and cached under /tmp), plus secondary
+pipelines over the $GRAFT_SF_DIR testdata tables.
+
+    python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # fresh subprocesses at 8 and 32 CPUs on the
+                                # same input -> throughput at both +
+                                # scaling efficiency (= speedup / 4)
+
+This script OWNS its Ray session (init+shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "40000"))
+CORPUS_SEED = 42
+
+
+def _corpus_dir() -> str:
+    out = f"/tmp/metacache_bench_corpus_n{BENCH_DOCS}_s{CORPUS_SEED}"
+    marker = os.path.join(out, ".complete")
+    if not os.path.exists(marker):
+        from metacache_mpi_ray.sources.pages import write_pages_corpus
+
+        write_pages_corpus(out, BENCH_DOCS, seed=CORPUS_SEED, n_files=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data as rd
+
+    from metacache_mpi_ray.config import DedupConfig
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+    from metacache_mpi_ray.pipelines.queries import (
+        q_events_window_agg,
+        q_exact_dedup_groups,
+        q_lineitem_pricing_summary,
+        q_token_count_stats,
+    )
+    from metacache_mpi_ray.stages.ingest import ingest_pages
+
+    cfg = DedupConfig()
+    corpus = _corpus_dir()
+    num_partitions = max(8, NUM_CPUS)
+    queries: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not first-touch IO
+    rd.read_parquet(f"{corpus}/pages").count()
+
+    t0 = time.time()
+    docs = ingest_pages(rd.read_parquet(f"{corpus}/pages"))
+    res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
+    n_docs = res.clusters.count()
+    headline = time.time() - t0
+    queries["dedup_synth"] = round(headline, 3)
+
+    for name, fn in [
+        ("exact_dedup_sf", q_exact_dedup_groups),
+        ("token_count_stats_sf", q_token_count_stats),
+        ("lineitem_pricing_summary_sf", q_lineitem_pricing_summary),
+        ("events_window_agg_sf", q_events_window_agg),
+    ]:
+        t0 = time.time()
+        out = fn(SF_DIR)
+        out.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "near-dup clustering throughput (synthetic CC-style corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    _corpus_dir()  # generate + warm once, outside timing
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 -> 4N=32 CPUs, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_docs": r_lo["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

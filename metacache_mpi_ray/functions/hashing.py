@@ -76,33 +76,70 @@ def hash_str_column(strings, seed: int = 0) -> np.ndarray:
 # hash_int.h). Fully vectorized over a concatenated byte buffer.
 # ---------------------------------------------------------------------------
 
-def _shingle_pow_vector(k: int, seed: int) -> np.ndarray:
-    """Per-position multipliers for the k-gram polynomial hash."""
-    base = splitmix64(np.arange(k, dtype=U64) + U64(seed & 0xFFFFFFFF))
-    # force odd multipliers so no position is annihilated mod 2**64
-    return base | U64(1)
+def _inv_u64(x: int) -> int:
+    """Multiplicative inverse of an odd x modulo 2**64 (Newton iteration)."""
+    inv = x  # correct mod 2**3; each step doubles the bits
+    for _ in range(6):
+        inv = (inv * (2 - x * inv)) & 0xFFFFFFFFFFFFFFFF
+    return inv
 
 
-def rolling_shingle_hashes(buf: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+def _shingle_base(seed: int) -> tuple[int, int]:
+    b = int(splitmix64(U64(0xB16B00B5 ^ (seed & 0xFFFFFFFF)))) | 1
+    return b, _inv_u64(b)
+
+
+# grow-on-demand caches of the geometric power sequences (keyed by base):
+# amortizes the sequential multiply.accumulate across batches per worker
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow_seq(base: int, n: int) -> np.ndarray:
+    """[B^0, B^1, ..., B^(n-1)] mod 2**64, cached and grown on demand."""
+    cur = _POW_CACHE.get(base)
+    if cur is None or len(cur) < n:
+        size = max(n, 1 << 20, 0 if cur is None else 2 * len(cur))
+        with np.errstate(over="ignore"):
+            seq = np.multiply.accumulate(np.full(size, U64(base)))
+        seq = np.concatenate([np.ones(1, dtype=U64), seq[:-1]])
+        _POW_CACHE[base] = seq
+        cur = seq
+    return cur[:n]
+
+
+def rolling_shingle_hashes(
+    buf: np.ndarray, k: int, seed: int = 0, *, finalize: bool = True
+) -> np.ndarray:
     """u64 hash of every k-byte window of ``buf`` (uint8 array).
 
     Returns an array of length ``len(buf) - k + 1`` (empty if shorter).
-    Computed as a windowed dot-product with per-position odd multipliers
-    (wraparound u64) followed by an fmix64 finalizer — O(n*k) vectorized,
-    no Python loop.
+    Position-normalized polynomial hash computed with prefix sums —
+    window [i, i+k) hashes to (S[i+k] - S[i]) * B^-i where
+    S[i] = sum_{j<i} (buf[j]+1) * B^j mod 2**64 and B is odd (hence
+    invertible mod 2**64). O(n) total, fully vectorized. The +1 keeps
+    NUL bytes from annihilating.
+
+    ``finalize=False`` skips the fmix64 output mixing: a bijection, so
+    collision structure (and hence Jaccard over shingle sets) is
+    identical — the MinHash path skips it since its own (a*h+b)
+    permutations re-disperse; key-uniformity consumers (SimHash bit
+    votes, anchor sampling) keep it.
     """
     n = buf.shape[0]
     if n < k:
         return np.empty(0, dtype=U64)
-    pows = _shingle_pow_vector(k, seed)
-    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(U64)
+    b, binv = _shingle_base(seed)
     with np.errstate(over="ignore"):
-        vals = (win * pows).sum(axis=1, dtype=U64)
-    return murmur3_fmix64(vals)
+        pows = _pow_seq(b, n)
+        invpows = _pow_seq(binv, n - k + 1)
+        terms = (buf.astype(U64) + U64(1)) * pows
+        prefix = np.concatenate([np.zeros(1, dtype=U64), np.cumsum(terms, dtype=U64)])
+        vals = (prefix[k:] - prefix[: n - k + 1]) * invpows
+    return murmur3_fmix64(vals) if finalize else vals
 
 
 def concat_shingle_hashes(
-    texts: list[bytes], k: int, seed: int = 0
+    texts: list[bytes], k: int, seed: int = 0, *, finalize: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shingle-hash a whole batch of documents in one vectorized pass.
 
@@ -119,7 +156,7 @@ def concat_shingle_hashes(
     if len(texts) == 0:
         return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
-    all_h = rolling_shingle_hashes(buf, k, seed)
+    all_h = rolling_shingle_hashes(buf, k, seed, finalize=finalize)
 
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     n_shingles = np.maximum(lens - k + 1, 0)
@@ -132,8 +169,10 @@ def concat_shingle_hashes(
     has = n_shingles > 0
     if has.any():
         # index of every in-doc window: for doc i, windows starts[i] .. starts[i]+n_shingles[i]-1
-        doc_idx = np.repeat(np.arange(len(texts))[has], n_shingles[has])
-        within = np.concatenate([np.arange(c) for c in n_shingles[has]])
+        ns = n_shingles[has]
+        doc_idx = np.repeat(np.arange(len(texts))[has], ns)
+        seg_start = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        within = np.arange(ns.sum()) - np.repeat(seg_start, ns)
         src = starts[doc_idx] + within
         dst = offsets[:-1][doc_idx] + within
         out[dst] = all_h[src]

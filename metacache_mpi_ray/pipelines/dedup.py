@@ -46,7 +46,9 @@ def near_dup_pipeline(
     state/checkpoint.py).
     """
     cfg = cfg or DedupConfig()
-    sigs = compute_signatures(docs, cfg, concurrency=signer_concurrency).materialize()
+    sigs = compute_signatures(
+        docs, cfg, concurrency=signer_concurrency, batch_size=1024
+    ).materialize()
     bands = compute_bands(sigs, cfg)
     raw_edges = bucket_edges(
         bands,
@@ -55,7 +57,7 @@ def near_dup_pipeline(
         cap=cfg.bucket_cap,
         num_partitions=num_partitions,
     )
-    edges = dedupe_edges(raw_edges, num_partitions=num_partitions)
+    edges = dedupe_edges(raw_edges, num_partitions=num_partitions).materialize()
     verified = verify_edges(edges, sigs, cfg, num_partitions=num_partitions).materialize()
     clusters = assign_clusters(docs, verified)
     return DedupResult(signatures=sigs, verified_edges=verified, clusters=clusters)

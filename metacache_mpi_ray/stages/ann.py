@@ -172,47 +172,58 @@ def embedding_near_dup(
         codes, key_cols=["table_id", "code"], id_col="doc_id",
         cap=cap, num_partitions=num_partitions,
     )
-    edges = dedupe_edges(edges, num_partitions=num_partitions)
+    edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
 
-    def pack_vecs(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_emb_matrix(batch["embedding"]))
-        n, d = mat.shape
-        flat = np.ascontiguousarray(mat).view(np.uint8).reshape(-1)
-        offsets = np.arange(n + 1, dtype=np.int32) * (d * 8)
-        vec_bin = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
-        )
-        return pa.table({"vec_id": batch["vec_id"].cast(pa.int64()), "vecbin": vec_bin})
+    # exact cosine verification via broadcast of edge-endpoint vectors
+    # (the dup subset; broadcast-small-side pattern, SURVEY.md §2.4 J2)
+    from metacache_mpi_ray.stages.verify import _edge_doc_ids
 
-    packed = embeddings.map_batches(pack_vecs, batch_format="pyarrow")
-    va = packed.rename_columns({"vec_id": "a", "vecbin": "vec_a"})
-    vb = packed.rename_columns({"vec_id": "b", "vecbin": "vec_b"})
-    j = edges.join(va, join_type="inner", num_partitions=num_partitions, on=("a",))
-    j = j.join(vb, join_type="inner", num_partitions=num_partitions, on=("b",))
+    wanted = _edge_doc_ids(edges)
+    wref = ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+            mask = w[pos] == ids
+        return batch.filter(pa.array(mask))
+
+    sub = embeddings.map_batches(pick, batch_format="pyarrow")
+    ids_list, mats = [], []
+    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_list.append(b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        mats.append(_normalize(_emb_matrix(b["embedding"])))
+    if ids_list:
+        ids_all = np.concatenate(ids_list)
+        mat_all = np.concatenate(mats, axis=0)
+        order = np.argsort(ids_all)
+        lref = ray.put((ids_all[order], mat_all[order]))
+    else:
+        lref = ray.put((np.empty(0, dtype=np.int64), np.zeros((0, 1))))
 
     def verify(batch: pa.Table) -> pa.Table:
-        def unpack(col):
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            n = len(col)
-            if n == 0:
-                return np.zeros((0, 1))
-            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
-            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            L = offs[1] - offs[0]
-            idx = offs[:-1, None].astype(np.int64) + np.arange(L, dtype=np.int64)[None, :]
-            return np.ascontiguousarray(data[idx]).view(np.float64)
-
-        A, B = unpack(batch["vec_a"]), unpack(batch["vec_b"])
-        sim = (A * B).sum(axis=1) if len(A) else np.empty(0)
+        ids_s, mat = ray.get(lref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "cos_sim": pa.array([], type=pa.float64())}
+            )
+        va = mat[np.searchsorted(ids_s, a)]
+        vb = mat[np.searchsorted(ids_s, b)]
+        sim = (va * vb).sum(axis=1)
         keep = sim >= sim_threshold
         return pa.table(
             {
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
                 "cos_sim": pa.array(sim[keep], type=pa.float64()),
             }
         )
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    return edges.map_batches(verify, batch_format="pyarrow")

@@ -3,32 +3,103 @@ of the engine.
 
 Reference analog: the query-side multimap probe + location-list merge
 (`accumulate_matches`, /root/reference/src/sketch_database.h:804-833)
-combined with the build-side insert — re-expressed as ONE groupby on the
-band key (SURVEY.md §4: ship records through a shuffle keyed by sketch
-features instead of shipping queries to every index shard).
+combined with the build-side insert — re-expressed as ONE range-shuffle
+on the band key (SURVEY.md §4: ship records through a shuffle keyed by
+sketch features instead of shipping queries to every index shard).
 
 Semantics per bucket (band_id, band_hash):
-  * buckets larger than ``cap`` are dropped entirely — the analog of the
+  * bucket fragments larger than ``cap`` are dropped — the analog of the
     reference's overpopulated-feature removal / uint8 location cap
-    (/root/reference/src/sketch_database.h:356-417, config.h:77); such
-    buckets are non-discriminative boilerplate and are hot keys;
+    (/root/reference/src/sketch_database.h:356-417, config.h:77); hot
+    boilerplate buckets are non-discriminative. Like the reference's
+    per-rank cap, ours applies per partition fragment.
   * surviving buckets emit star edges (min_doc_id, other_doc_id) —
-    |bucket|-1 edges preserve connectivity for union-find without the
+    |bucket|-1 edges preserve union-find connectivity without the
     O(m^2) pair explosion (SURVEY.md §7.3).
 
-Implementation: groupby(key).aggregate(Min, Count) gives the global
-per-bucket representative and size with vectorized partial aggregation,
-then a hash join attaches them back to every bucket member. Both the
-groupby and the join hash-partition on the same key.
+Implementation (one shuffle, no hash-join actors): combine the key
+columns into a single 64-bit ``bkey``, global ``sort("bkey")`` (range
+partition), then a vectorized per-batch pass finds group boundaries and
+emits edges with ``np.minimum.reduceat``. A bucket split across batch
+boundaries is stitched by *bridge rows*: each batch also emits its
+first and last group as (bkey, fragment_min); any fragment of a split
+bucket is necessarily the first or last group of its batch, so a tiny
+driver-side pass over bridge rows adds the missing cross-fragment
+edges.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Min
+import ray.data
+from ray.data.aggregate import Count
+
+from metacache_mpi_ray.functions.hashing import U64, mix2, splitmix64
+
+
+def _combine_keys(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Table:
+    """Fold multiple key columns into one u64 (viewed int64) ``bkey``."""
+    h = None
+    for c in key_cols:
+        col = batch[c].to_numpy(zero_copy_only=False).astype(np.int64).view(U64)
+        h = splitmix64(col) if h is None else mix2(h, col)
+    return pa.table(
+        {
+            "bkey": pa.array(h.view(np.int64), type=pa.int64()),
+            id_col: batch[id_col],
+        }
+    )
+
+
+def _make_edge_emitter(id_col: str, cap: int):
+    def emit(batch: pa.Table) -> pa.Table:
+        keys = batch["bkey"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        empty = {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "bridge_key": pa.array([], type=pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        mins = np.minimum.reduceat(ids, starts)
+        ok = sizes <= cap
+        # star edges for surviving groups
+        keep_groups = ok & (sizes > 1)
+        a = np.repeat(mins[keep_groups], sizes[keep_groups])
+        b_mask = np.repeat(keep_groups, sizes)
+        b = ids[b_mask]
+        sel = a != b
+        # bridge rows: first + last group of this batch (possible split
+        # fragments), regardless of size
+        bridge_idx = [0] if len(starts) == 1 else [0, len(starts) - 1]
+        bk = keys[starts[bridge_idx]]
+        bm = mins[bridge_idx]
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.concatenate([a[sel], bm]), type=pa.int64()
+                ),
+                "b": pa.array(
+                    np.concatenate([b[sel], bm]), type=pa.int64()
+                ),
+                "bridge_key": pa.array(
+                    np.concatenate([np.zeros(sel.sum(), dtype=np.int64), bk]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return emit
 
 
 def bucket_edges(
@@ -36,34 +107,48 @@ def bucket_edges(
     key_cols: list[str],
     id_col: str = "doc_id",
     cap: int = 256,
-    num_partitions: int = 32,
+    num_partitions: int = 32,  # kept for API compat; sort picks its own
 ):
-    """rows(key_cols..., id_col) -> unique candidate edges (a < b).
+    """rows(key_cols..., id_col) -> candidate edges (a < b, a = bucket min).
 
-    ``a`` is always the bucket minimum, so edges are canonically ordered
-    and ready for cross-band dedup.
-    """
-    mins = ds.groupby(key_cols).aggregate(
-        Min(id_col, alias_name="gmin"),
-        Count(alias_name="gsize"),
+    Returns a MaterializedDataset (the edge list is the natural
+    checkpoint artifact; at scale it is written to Parquet instead —
+    see pipelines/dedup.run_dedup_checkpointed)."""
+    keyed = ds.map_batches(
+        lambda t: _combine_keys(t, key_cols, id_col), batch_format="pyarrow"
     )
-    joined = ds.join(
-        mins, join_type="inner", num_partitions=num_partitions, on=tuple(key_cols)
+    emitted = (
+        keyed.sort("bkey")
+        .map_batches(_make_edge_emitter(id_col, cap), batch_format="pyarrow")
+        .materialize()
     )
+    def _split(want_bridge: bool, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            bk = t["bridge_key"].to_numpy(zero_copy_only=False)
+            mask = (bk != 0) if want_bridge else (bk == 0)
+            return t.filter(pa.array(mask)).select(cols)
 
-    def emit(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        gmin = batch["gmin"].to_numpy(zero_copy_only=False)
-        gsize = batch["gsize"].to_numpy(zero_copy_only=False)
-        keep = (gsize <= cap) & (ids != gmin)
-        return pa.table(
-            {
-                "a": pa.array(gmin[keep], type=pa.int64()),
-                "b": pa.array(ids[keep], type=pa.int64()),
-            }
-        )
+        return f
 
-    return joined.map_batches(emit, batch_format="pyarrow")
+    edges = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
+    # stitch buckets split across batch boundaries (tiny: <= 2 rows/batch)
+    bridges = emitted.map_batches(
+        _split(True, ["a", "bridge_key"]), batch_format="pyarrow"
+    ).to_pandas()
+    if len(bridges):
+        g = bridges.groupby("bridge_key")["a"].agg(["min", "nunique"])
+        split = g[g["nunique"] > 1]
+        if len(split):
+            extra = bridges.merge(
+                split.rename(columns={"min": "gmin"}), left_on="bridge_key", right_index=True
+            )
+            extra = extra[extra["a"] != extra["gmin"]]
+            extra_df = pd.DataFrame(
+                {"a": extra["gmin"].astype("int64"), "b": extra["a"].astype("int64")}
+            ).drop_duplicates()
+            if len(extra_df):
+                edges = edges.union(ray.data.from_pandas(extra_df))
+    return edges
 
 
 def dedupe_edges(edges, num_partitions: int = 32):

@@ -42,12 +42,16 @@ def minhash_matrix(
     sig = np.empty((n, cfg.n_perms), dtype=U64)
     if n == 0:
         return sig
-    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+    # fmix finalization skipped: the (a*h+b) permutations below are the
+    # dispersal step, and fmix is a bijection (same Jaccard structure)
+    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed, finalize=False)
     starts = offsets[:-1]
+    buf = np.empty_like(hashes)
     with np.errstate(over="ignore"):
         for p in range(cfg.n_perms):
-            vals = a[p] * hashes + b[p]
-            sig[:, p] = np.minimum.reduceat(vals, starts)
+            np.multiply(hashes, a[p], out=buf)
+            np.add(buf, b[p], out=buf)
+            sig[:, p] = np.minimum.reduceat(buf, starts)
     return sig
 
 

@@ -106,24 +106,57 @@ def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int =
         blocks, key_cols=["block_id", "block_val"], id_col="doc_id",
         cap=cfg.bucket_cap, num_partitions=num_partitions,
     )
-    edges = dedupe_edges(edges, num_partitions=num_partitions)
-    sa = sims.rename_columns({"doc_id": "a", "simhash": "sim_a"})
-    sb = sims.rename_columns({"doc_id": "b", "simhash": "sim_b"})
-    j = edges.join(sa, join_type="inner", num_partitions=num_partitions, on=("a",))
-    j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("b",))
+    edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
+
+    # exact Hamming verification via broadcast of the edge-endpoint
+    # simhashes (the dup subset — same broadcast-small-side pattern as
+    # stages/verify._verify_broadcast; at extreme scale switch to the
+    # join fallback there)
+    import ray
+
+    from metacache_mpi_ray.stages.verify import _edge_doc_ids
+
+    wanted = _edge_doc_ids(edges)
+    wref = ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+            mask = w[pos] == ids
+        return batch.filter(pa.array(mask))
+
+    sub = sims.map_batches(pick, batch_format="pyarrow").to_pandas()
+    ids_sorted = sub["doc_id"].to_numpy(np.int64)
+    order = np.argsort(ids_sorted)
+    ids_sorted = ids_sorted[order]
+    vals = sub["simhash"].to_numpy(np.int64)[order].view(U64)
+    lref = ray.put((ids_sorted, vals))
     hmax = cfg.simhash_hamming
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = batch["sim_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        b = batch["sim_b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        d = hamming_distance_u64(a, b) if len(a) else np.empty(0, dtype=np.int64)
+        ids_s, sh = ray.get(lref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "hamming": pa.array([], type=pa.int64())}
+            )
+        va = sh[np.searchsorted(ids_s, a)]
+        vb = sh[np.searchsorted(ids_s, b)]
+        d = hamming_distance_u64(va, vb)
         keep = d <= hmax
         return pa.table(
             {
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
                 "hamming": pa.array(d[keep], type=pa.int64()),
             }
         )
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    return edges.map_batches(verify, batch_format="pyarrow")

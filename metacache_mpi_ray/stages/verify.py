@@ -8,10 +8,16 @@ sigma ~= sqrt(s(1-s)/n_perms) ~= 0.044 at 128 perms); pairs with
 ``est_sim >= cfg.verify_threshold`` (threshold minus a noise margin)
 survive.
 
-Distribution: two hash joins of the (small) edge list against the
-signatures table. At 10^12-doc scale the signature side should first be
-semi-joined down to doc_ids that appear in any edge (the dup subset);
-at sandbox scale the join handles it directly.
+Two strategies (auto-selected by edge count):
+
+* ``broadcast`` — the duplicate subset is small relative to the corpus:
+  semi-join the signatures down to doc_ids appearing in any edge, pull
+  that subset into one object, ``ray.put`` it once, and score edges in
+  map_batches with a vectorized searchsorted lookup. No shuffle of the
+  big side (the broadcast-small-side join pattern, SURVEY.md §2.4 J2).
+* ``join`` — scale fallback when the edge list is too big to broadcast:
+  two hash joins against the signatures table (signatures packed as
+  binary payloads; Arrow hash join can't carry list columns).
 """
 
 from __future__ import annotations
@@ -19,13 +25,99 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
+
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.signatures import sig_from_arrow
 
 
-def verify_edges(edges, signatures, cfg: DedupConfig, num_partitions: int = 32):
+def _edge_doc_ids(edges) -> np.ndarray:
+    ids: list[np.ndarray] = []
+    for b in edges.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        ids.append(b["a"].to_numpy(zero_copy_only=False))
+        ids.append(b["b"].to_numpy(zero_copy_only=False))
+    if not ids:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(ids))
+
+
+def _collect_sig_subset(signatures, wanted: np.ndarray, n_perms: int):
+    """(sorted_ids, sig_matrix) for the wanted doc_ids, streamed."""
+    ref = ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+            mask = w[pos] == ids
+        return batch.filter(pa.array(mask))
+
+    sub = signatures.select_columns(["doc_id", "sig"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+    ids_out, sig_out = [], []
+    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_out.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        sig_out.append(sig_from_arrow(b["sig"]))
+    if not ids_out:
+        return np.empty(0, dtype=np.int64), np.empty((0, n_perms), dtype=np.uint64)
+    ids_all = np.concatenate(ids_out)
+    sig_all = np.concatenate(sig_out, axis=0)
+    order = np.argsort(ids_all)
+    return ids_all[order], sig_all[order]
+
+
+def verify_edges(
+    edges,
+    signatures,
+    cfg: DedupConfig,
+    num_partitions: int = 32,
+    *,
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
     """edges(a, b, ...) x signatures(doc_id, sig) -> (a, b, est_sim) for
     pairs whose estimated Jaccard clears the verification threshold."""
+    if strategy == "auto":
+        try:
+            n_edges = edges.count()
+        except Exception:
+            n_edges = broadcast_limit + 1
+        strategy = "broadcast" if n_edges <= broadcast_limit else "join"
+    if strategy == "broadcast":
+        return _verify_broadcast(edges, signatures, cfg)
+    return _verify_join(edges, signatures, cfg, num_partitions)
+
+
+def _verify_broadcast(edges, signatures, cfg: DedupConfig):
+    wanted = _edge_doc_ids(edges)
+    ids_sorted, sig_mat = _collect_sig_subset(signatures, wanted, cfg.n_perms)
+    lookup_ref = ray.put((ids_sorted, sig_mat))
+    thresh = cfg.verify_threshold
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_s, sigs = ray.get(lookup_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_s, a)
+        ib = np.searchsorted(ids_s, b)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1) if len(a) else np.empty(0)
+        keep = est >= thresh
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "est_sim": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    return edges.map_batches(score, batch_format="pyarrow")
+
+
+def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
     from metacache_mpi_ray.stages.signatures import sig_from_binary, sig_to_binary
 
     def pack(batch: pa.Table) -> pa.Table:

@@ -122,8 +122,15 @@ def sharded_checkpointed_stage(
         with open(smarker + ".tmp", "w") as f:
             f.write("done")
         os.replace(smarker + ".tmp", smarker)
-    paths = [os.path.join(stage_dir, f"shard={k}") for k in shard_ids]
-    return ray.data.read_parquet(paths, columns=read_columns)
+    files: list[str] = []
+    for k in shard_ids:
+        d = os.path.join(stage_dir, f"shard={k}")
+        files.extend(
+            sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        )
+    return ray.data.read_parquet(files, columns=read_columns)
 
 
 def completed_shards(root: str, stage: str) -> list[int]:

@@ -1,0 +1,185 @@
+"""Unit/e2e tests for the secondary operators: simhash, substring
+anchors + suffix-array LCS, ANN, embedding near-dup, text stats,
+distributed label propagation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from metacache_mpi_ray.config import DedupConfig
+
+CFG = DedupConfig()
+
+
+def _docs_ds(texts: list[str], start_id: int = 0):
+    """Tiny canonical docs dataset from raw texts."""
+    from metacache_mpi_ray.stages.ingest import ingest_documents
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(start_id, start_id + len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    return ingest_documents(rd.from_arrow(tab))
+
+
+# ---------------------------------------------------------------- simhash
+
+def test_simhash_identical_and_near_docs():
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about mountains rivers and lakes " * 8
+    ds = _docs_ds([base, base, near, other])
+    from metacache_mpi_ray.stages.simhash import simhash_dedup
+
+    pairs = simhash_dedup(ds, CFG, num_partitions=4).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got                       # identical -> hamming 0
+    assert all(0 in p or 1 in p or 2 in p for p in got)
+    assert not any(3 in p for p in got)        # unrelated doc stays out
+
+
+def test_simhash_matrix_properties():
+    from metacache_mpi_ray.stages.simhash import hamming_distance_u64, simhash_matrix
+
+    t1 = b"some repeated body of text " * 20
+    t2 = b"some repeated body of test " * 20   # small change
+    t3 = b"entirely unrelated material here! " * 20
+    m = simhash_matrix([t1, t1, t2, t3], CFG)
+    assert m[0] == m[1]
+    d12 = hamming_distance_u64(m[[0]], m[[2]])[0]
+    d13 = hamming_distance_u64(m[[0]], m[[3]])[0]
+    assert d12 < d13
+
+
+# ------------------------------------------------------------- substring
+
+def test_suffix_array_and_lcs():
+    from metacache_mpi_ray.stages.substring import (
+        longest_common_substring_len,
+        suffix_array,
+    )
+
+    s = np.frombuffer(b"banana", dtype=np.uint8)
+    sa = suffix_array(s)
+    # suffixes of banana sorted: a, ana, anana, banana, na, nana
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+
+    assert longest_common_substring_len(b"hello world", b"world peace") == 5
+    assert longest_common_substring_len(b"abc", b"xyz") == 0
+    shared = b"0123456789" * 10
+    a = b"AAA" + shared + b"BBB"
+    b = b"CCC" + shared + b"DDD"
+    assert longest_common_substring_len(a, b) == len(shared)
+
+
+def test_anchor_candidates_find_shared_spans():
+    from metacache_mpi_ray.stages.substring import anchor_candidates
+
+    shared = "the shared span of text that is quite long and distinctive " * 6
+    texts = [
+        "prefix one " * 30 + shared + " suffix one " * 30,
+        "totally different beginning " * 30 + shared + " other ending " * 30,
+        "no overlap here at all just words " * 40,
+    ]
+    ds = _docs_ds(texts)
+    edges = anchor_candidates(ds, CFG, num_partitions=4).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(edges["a"], edges["b"])}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+# ------------------------------------------------------------------- ann
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    # rows 0 and 1 nearly identical; row 2 = exact copy of 0
+    base[1] = base[0] + rng.normal(scale=0.01, size=16)
+    base[2] = base[0]
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in base],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    return rd.from_arrow(tab)
+
+
+def test_brute_force_topk(emb_ds):
+    from metacache_mpi_ray.stages.ann import brute_force_topk
+
+    out = brute_force_topk(emb_ds, query_ids=[0], k=3, concurrency=2).to_pandas()
+    assert len(out) == 3
+    top2 = set(out[out["rank"] <= 2]["neighbor_id"])
+    assert top2 == {1, 2}
+
+
+def test_embedding_near_dup(emb_ds):
+    from metacache_mpi_ray.stages.ann import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        emb_ds, sim_threshold=0.98, num_partitions=4
+    ).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    assert {(0, 1), (0, 2)} <= got  # planted dups found (star edges from 0)
+    assert all({p[0], p[1]} <= {0, 1, 2} for p in got)
+
+
+# ------------------------------------------------------- label propagation
+
+def test_propagate_min_labels_matches_union_find():
+    from metacache_mpi_ray.stages.cluster import propagate_min_labels
+    from metacache_mpi_ray.state.unionfind import labels_from_edges
+
+    edges = pd.DataFrame(
+        {"a": [1, 2, 10, 11, 20, 3], "b": [2, 3, 11, 12, 21, 4]}
+    )
+    ds = rd.from_pandas(edges)
+    dist = propagate_min_labels(ds, num_partitions=4).to_pandas()
+    uf = labels_from_edges(rd.from_pandas(edges))
+    dist_map = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert dist_map == uf
+
+
+# ------------------------------------------------------------- text stats
+
+def test_lang_id_markers():
+    from metacache_mpi_ray.stages.textstats import LangIdScorer
+
+    scorer = LangIdScorer()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat is on the mat and the dog is here",
+                    "der hund und die katze das ist gut",
+                    "zzz qqq xxx",
+                ]
+            ),
+        }
+    )
+    out = scorer(batch)
+    assert out["pred_lang"].to_pylist() == ["en", "de", "unknown"]
+
+
+def test_fingerprint_stable_and_distinct():
+    from metacache_mpi_ray.stages.textstats import fingerprint_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["same text", "same text", "different"]),
+        }
+    )
+    out = fingerprint_batch(batch)
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
