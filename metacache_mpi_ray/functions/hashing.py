@@ -156,29 +156,102 @@ def concat_shingle_hashes(
     if len(texts) == 0:
         return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
-    all_h = rolling_shingle_hashes(buf, k, seed, finalize=finalize)
-
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    n_shingles = np.maximum(lens - k + 1, 0)
+    ends = starts + lens
+    return shingle_hashes_from_buffer(buf, starts, ends, k, seed, finalize=finalize)
 
+
+# ---------------------------------------------------------------------------
+# Zero-copy Arrow string-column hashing: an Arrow string array already
+# stores all row values as one contiguous UTF-8 buffer + offsets, which
+# is exactly the layout the batch shingle hasher wants — no to_pylist,
+# no per-row encode, no join.
+# ---------------------------------------------------------------------------
+
+def arrow_string_buffer(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data_u8, starts, ends) byte ranges per row of an Arrow string col."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] is not None else np.empty(0, np.uint8)
+    return data, offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
+
+
+def _window_prefix(data: np.ndarray, seed: int):
+    """Shared prefix machinery: S, pows^-1 getter for position-normalized
+    polynomial hashing over the whole buffer."""
+    b, binv = _shingle_base(seed)
+    with np.errstate(over="ignore"):
+        pows = _pow_seq(b, len(data))
+        terms = (data.astype(U64) + U64(1)) * pows
+        prefix = np.concatenate([np.zeros(1, dtype=U64), np.cumsum(terms, dtype=U64)])
+    return prefix, binv
+
+
+def doc_hashes_from_buffer(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """One u64 content hash per row (full-string polynomial + fmix),
+    fully vectorized over the shared buffer."""
+    prefix, binv = _window_prefix(data, seed)
+    inv = _pow_seq(binv, int(starts.max()) + 1 if len(starts) else 1)
+    with np.errstate(over="ignore"):
+        vals = (prefix[ends] - prefix[starts]) * inv[starts]
+        # fold in the length so "a" vs "a\0"-style prefixes differ
+        vals ^= splitmix64((ends - starts).astype(U64))
+    return murmur3_fmix64(vals)
+
+
+def shingle_hashes_from_buffer(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    k: int,
+    seed: int = 0,
+    *,
+    finalize: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch shingle hashing straight from an Arrow string buffer.
+
+    Same output contract as concat_shingle_hashes: (hashes, offsets)
+    with >=1 shingle per row (whole-string hash fallback for short
+    rows). One prefix-sum pass over the shared buffer; windows spanning
+    row boundaries masked out by the per-row gather.
+    """
+    nrows = len(starts)
+    if nrows == 0:
+        return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
+    prefix, binv = _window_prefix(data, seed)
+    maxpos = int(len(data))
+    inv = _pow_seq(binv, max(maxpos - k + 2, int(starts.max()) + 1, 1))
+
+    lens = ends - starts
+    n_shingles = np.maximum(lens - k + 1, 0)
     out_counts = np.where(n_shingles > 0, n_shingles, 1)
     offsets = np.concatenate([[0], np.cumsum(out_counts)])
     out = np.empty(offsets[-1], dtype=U64)
 
-    # gather valid windows per doc via a single fancy index
     has = n_shingles > 0
     if has.any():
-        # index of every in-doc window: for doc i, windows starts[i] .. starts[i]+n_shingles[i]-1
         ns = n_shingles[has]
-        doc_idx = np.repeat(np.arange(len(texts))[has], ns)
+        row_idx = np.flatnonzero(has)
+        doc_idx = np.repeat(row_idx, ns)
         seg_start = np.concatenate([[0], np.cumsum(ns)[:-1]])
-        within = np.arange(ns.sum()) - np.repeat(seg_start, ns)
-        src = starts[doc_idx] + within
+        within = np.arange(int(ns.sum())) - np.repeat(seg_start, ns)
+        src = starts[doc_idx] + within                      # absolute window starts
+        with np.errstate(over="ignore"):
+            vals = (prefix[src + k] - prefix[src]) * inv[src]
+        if finalize:
+            vals = murmur3_fmix64(vals)
         dst = offsets[:-1][doc_idx] + within
-        out[dst] = all_h[src]
+        out[dst] = vals
     if (~has).any():
-        for i in np.flatnonzero(~has):
-            out[offsets[i]] = hash_bytes_u64(bytes(texts[i]), seed)
+        short = np.flatnonzero(~has)
+        dh = doc_hashes_from_buffer(data, starts[short], ends[short], seed)
+        out[offsets[:-1][short]] = dh
     return out, offsets
 
 

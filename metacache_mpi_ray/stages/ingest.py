@@ -22,7 +22,10 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from metacache_mpi_ray.functions.hashing import hash_str_column
+from metacache_mpi_ray.functions.hashing import (
+    arrow_string_buffer,
+    doc_hashes_from_buffer,
+)
 from metacache_mpi_ray.functions.text import resolve_text_batch
 
 
@@ -31,20 +34,22 @@ def _to_i63(u64: np.ndarray) -> np.ndarray:
     return (u64 >> np.uint64(1)).astype(np.int64)
 
 
+def _col_hash_i63(col, seed: int) -> np.ndarray:
+    """Stable 63-bit content hash of an Arrow string column, zero-copy."""
+    data, starts, ends = arrow_string_buffer(col)
+    return _to_i63(doc_hashes_from_buffer(data, starts, ends, seed))
+
+
 def _ingest_pages_batch(batch: pa.Table) -> pa.Table:
     batch = resolve_text_batch(batch)
-    urls = batch["url"].to_pylist()
-    doc_id = _to_i63(hash_str_column(urls, seed=11))
     norm = batch["norm_text"]
-    text_hash = _to_i63(hash_str_column(norm.to_pylist(), seed=22))
-    n_chars = pc.utf8_length(norm).cast(pa.int64())
     return pa.table(
         {
-            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "doc_id": pa.array(_col_hash_i63(batch["url"], seed=11), type=pa.int64()),
             "url": batch["url"],
             "norm_text": norm,
-            "text_hash": pa.array(text_hash, type=pa.int64()),
-            "n_chars": n_chars,
+            "text_hash": pa.array(_col_hash_i63(norm, seed=22), type=pa.int64()),
+            "n_chars": pc.utf8_length(norm).cast(pa.int64()),
         }
     )
 
@@ -56,13 +61,12 @@ def _ingest_documents_batch(batch: pa.Table) -> pa.Table:
     norm = normalize_text_arrow(batch["text"])
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
-    text_hash = _to_i63(hash_str_column(norm.to_pylist(), seed=22))
     return pa.table(
         {
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "url": pc.cast(batch["doc_id"], pa.string()),
             "norm_text": norm,
-            "text_hash": pa.array(text_hash, type=pa.int64()),
+            "text_hash": pa.array(_col_hash_i63(norm, seed=22), type=pa.int64()),
             "n_chars": pc.utf8_length(norm).cast(pa.int64()),
         }
     )

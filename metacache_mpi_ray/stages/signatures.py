@@ -34,25 +34,39 @@ from metacache_mpi_ray.functions.hashing import (
 from metacache_mpi_ray.functions.text import texts_to_bytes
 
 
-def minhash_matrix(
-    texts: list[bytes], cfg: DedupConfig, a: np.ndarray, b: np.ndarray
+def minhash_from_shingles(
+    hashes: np.ndarray, offsets: np.ndarray, n_perms: int, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """(ndocs, n_perms) u64 signature matrix for a batch of documents."""
-    n = len(texts)
-    sig = np.empty((n, cfg.n_perms), dtype=U64)
-    if n == 0:
+    """Core kernel: per-doc shingle hash stream -> (ndocs, n_perms) u64
+    signatures, one vectorized reduceat pass per permutation."""
+    n = len(offsets) - 1
+    sig = np.empty((n, n_perms), dtype=U64)
+    if n == 0 or len(hashes) == 0:
         return sig
-    # fmix finalization skipped: the (a*h+b) permutations below are the
-    # dispersal step, and fmix is a bijection (same Jaccard structure)
-    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed, finalize=False)
     starts = offsets[:-1]
     buf = np.empty_like(hashes)
     with np.errstate(over="ignore"):
-        for p in range(cfg.n_perms):
+        for p in range(n_perms):
             np.multiply(hashes, a[p], out=buf)
             np.add(buf, b[p], out=buf)
             sig[:, p] = np.minimum.reduceat(buf, starts)
     return sig
+
+
+def minhash_matrix(
+    texts: list[bytes], cfg: DedupConfig, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(ndocs, n_perms) u64 signature matrix for a batch of documents
+    (list-of-bytes reference path; the hot path feeds Arrow buffers to
+    minhash_from_shingles directly — both produce identical values)."""
+    if len(texts) == 0:
+        return np.empty((0, cfg.n_perms), dtype=U64)
+    # fmix finalization skipped: the (a*h+b) permutations are the
+    # dispersal step, and fmix is a bijection (same Jaccard structure)
+    hashes, offsets = concat_shingle_hashes(
+        texts, cfg.shingle_k, cfg.seed, finalize=False
+    )
+    return minhash_from_shingles(hashes, offsets, cfg.n_perms, a, b)
 
 
 def sig_to_arrow(sig: np.ndarray) -> pa.FixedSizeListArray:
@@ -112,8 +126,17 @@ class MinHashSigner:
         self.a, self.b = minhash_perm_constants(self.cfg.n_perms, self.cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = texts_to_bytes(batch["norm_text"])
-        sig = minhash_matrix(texts, self.cfg, self.a, self.b)
+        from metacache_mpi_ray.functions.hashing import (
+            arrow_string_buffer,
+            shingle_hashes_from_buffer,
+        )
+
+        # zero-copy: hash straight out of the Arrow string buffer
+        data, starts, ends = arrow_string_buffer(batch["norm_text"])
+        hashes, offsets = shingle_hashes_from_buffer(
+            data, starts, ends, self.cfg.shingle_k, self.cfg.seed, finalize=False
+        )
+        sig = minhash_from_shingles(hashes, offsets, self.cfg.n_perms, self.a, self.b)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -125,14 +148,31 @@ class MinHashSigner:
 
 
 def compute_signatures(
-    docs, cfg: DedupConfig, *, concurrency: int | None = None, batch_size: int = 4096
+    docs,
+    cfg: DedupConfig,
+    *,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+    mode: str = "tasks",
 ):
-    """docs -> signatures dataset via a MinHashSigner actor pool.
+    """docs -> signatures dataset.
 
-    Pool size defaults to (cluster CPUs - 2) so the read and shuffle
-    stages always have CPUs to run on (an actor pool reserves its CPUs
-    even while idle — sizing it to the whole node deadlocks the
-    streaming executor)."""
+    ``mode="tasks"`` (default): the signer state (permutation constants,
+    ~2 KB) is built once on the driver and shipped inside the pickled
+    callable; the stage runs on the elastic task pool, reusing the warm
+    worker processes of the read stage. Right for cheap state.
+
+    ``mode="actors"``: a stateful actor pool (state built per actor in
+    __init__). Right for heavy state (models, big lookup tables) — but
+    every Dataset execution pays a cold python process start per actor,
+    which at pool size ~30 costs more than this stage's entire compute.
+    Pool size defaults to (cluster CPUs - 2) so reads/shuffles keep
+    CPUs (a pool sized to the whole node deadlocks the streaming
+    executor)."""
+    if mode == "tasks":
+        return docs.map_batches(
+            MinHashSigner(cfg), batch_format="pyarrow", batch_size=batch_size
+        )
     from metacache_mpi_ray.functions.resources import default_actor_concurrency
 
     if concurrency is None:

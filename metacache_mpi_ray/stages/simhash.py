@@ -22,13 +22,12 @@ from metacache_mpi_ray.functions.text import texts_to_bytes
 from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
 
 
-def simhash_matrix(texts: list[bytes], cfg: DedupConfig) -> np.ndarray:
-    """(n,) u64 simhash per document."""
-    n = len(texts)
+def simhash_from_shingles(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Core kernel: per-doc shingle stream -> (n,) u64 simhash."""
+    n = len(offsets) - 1
     out = np.zeros(n, dtype=U64)
-    if n == 0:
+    if n == 0 or len(hashes) == 0:
         return out
-    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed)
     starts = offsets[:-1]
     counts = np.diff(offsets)
     # per bit: ones = sum of that bit over the doc's shingles; the vote
@@ -38,6 +37,14 @@ def simhash_matrix(texts: list[bytes], cfg: DedupConfig) -> np.ndarray:
         ones = np.add.reduceat(((hashes >> U64(j)) & U64(1)).astype(np.int64), starts)
         out |= ((2 * ones > counts).astype(U64) << U64(j))
     return out
+
+
+def simhash_matrix(texts: list[bytes], cfg: DedupConfig) -> np.ndarray:
+    """(n,) u64 simhash per document (list-of-bytes reference path)."""
+    if len(texts) == 0:
+        return np.zeros(0, dtype=U64)
+    hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+    return simhash_from_shingles(hashes, offsets)
 
 
 def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -52,7 +59,16 @@ class SimHasher:
         self.cfg = cfg or DedupConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = simhash_matrix(texts_to_bytes(batch["norm_text"]), self.cfg)
+        from metacache_mpi_ray.functions.hashing import (
+            arrow_string_buffer,
+            shingle_hashes_from_buffer,
+        )
+
+        data, starts, ends = arrow_string_buffer(batch["norm_text"])
+        hashes, offsets = shingle_hashes_from_buffer(
+            data, starts, ends, self.cfg.shingle_k, self.cfg.seed
+        )
+        sh = simhash_from_shingles(hashes, offsets)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -33,30 +33,48 @@ from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
 
 
 def anchor_rows(cfg: DedupConfig):
-    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64) rows."""
+    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64) rows.
+
+    Fully vectorized over the batch: one shingle pass (width anchor_len)
+    straight from the Arrow string buffer, winnowing-style selection
+    (hash % anchor_mod == 0), then per-doc dedup via lexsort."""
+    from metacache_mpi_ray.functions.hashing import (
+        arrow_string_buffer,
+        shingle_hashes_from_buffer,
+    )
+
     L, mod = cfg.anchor_len, cfg.anchor_mod
 
     def emit(batch: pa.Table) -> pa.Table:
-        texts = texts_to_bytes(batch["norm_text"])
+        data, starts, ends = arrow_string_buffer(batch["norm_text"])
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_h, out_d = [], []
-        for i, t in enumerate(texts):
-            if len(t) < L:
-                continue
-            h = rolling_shingle_hashes(np.frombuffer(t, dtype=np.uint8), L, cfg.seed + 1)
-            sel = h[h % U64(mod) == 0]
-            if len(sel):
-                sel = np.unique(sel)
-                out_h.append(sel)
-                out_d.append(np.full(len(sel), ids[i], dtype=np.int64))
-        if not out_h:
-            return pa.table(
-                {"anchor_hash": pa.array([], type=pa.int64()),
-                 "doc_id": pa.array([], type=pa.int64())}
-            )
-        hh = (np.concatenate(out_h) >> np.uint64(1)).astype(np.int64)
+        lens = ends - starts
+        long_enough = lens >= L
+        empty = pa.table(
+            {"anchor_hash": pa.array([], type=pa.int64()),
+             "doc_id": pa.array([], type=pa.int64())}
+        )
+        if not long_enough.any():
+            return empty
+        h, offsets = shingle_hashes_from_buffer(
+            data, starts[long_enough], ends[long_enough], L, cfg.seed + 1
+        )
+        doc_of = np.repeat(
+            ids[long_enough], np.diff(offsets)
+        )
+        sel = h % U64(mod) == 0
+        if not sel.any():
+            return empty
+        hs, ds = h[sel], doc_of[sel]
+        # dedup (doc, hash) pairs: lexsort + adjacent-compare
+        order = np.lexsort((hs, ds))
+        hs, ds = hs[order], ds[order]
+        keep = np.empty(len(hs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        hh = (hs[keep] >> np.uint64(1)).astype(np.int64)
         return pa.table(
-            {"anchor_hash": pa.array(hh), "doc_id": pa.array(np.concatenate(out_d))}
+            {"anchor_hash": pa.array(hh), "doc_id": pa.array(ds[keep], type=pa.int64())}
         )
 
     return emit

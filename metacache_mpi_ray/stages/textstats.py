@@ -93,9 +93,15 @@ class LangIdScorer:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """64-bit content fingerprint of each document (stable hash of the
-    raw text bytes) — the rolling-hash document fingerprint operator."""
-    fp = hash_str_column(batch["text"].to_pylist(), seed=77)
+    """64-bit content fingerprint of each document (rolling polynomial
+    hash of the raw text bytes, zero-copy from the Arrow buffer)."""
+    from metacache_mpi_ray.functions.hashing import (
+        arrow_string_buffer,
+        doc_hashes_from_buffer,
+    )
+
+    data, starts, ends = arrow_string_buffer(batch["text"])
+    fp = doc_hashes_from_buffer(data, starts, ends, seed=77)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
