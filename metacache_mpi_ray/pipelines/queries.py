@@ -153,6 +153,163 @@ def q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Broadcast hash join (J2 analog): big orders stream probes the
+    small customer dimension shipped once via ray.put."""
+    from metacache_mpi_ray.stages.joins import broadcast_join
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).to_pandas()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    return joined.select_columns(["o_orderkey", "c_name", "c_mktsegment"])
+
+
+def q_lineitem_orders_join(sf_dir: str):
+    """Large-large hash-partitioned join (Dataset.join; both sides
+    shuffle on the key)."""
+    from metacache_mpi_ray.stages.joins import large_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    j = large_join(li, orders, on=("l_orderkey",), num_partitions=16)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "order_epoch": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    return j.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Per-group bounded top-k (A2 analog: the reference's maxcand list)."""
+    from metacache_mpi_ray.stages.windows import topk_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    out = topk_per_group(ev, "user_id", "value", 3, tiebreak=["event_id"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "rank": t["rank"],
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_events_with_prev(sf_dir: str):
+    """Per-key LAG in event-time order (ordered-log window op)."""
+    from metacache_mpi_ray.stages.windows import lag_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.int64())
+        )
+
+    ev = ev.map_batches(to_epoch, batch_format="pyarrow")
+    out = lag_per_group(ev, "user_id", "ts", "event_id", out_col="prev_event")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "prev_event": pc.cast(t["prev_event"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_sessionize_events(sf_dir: str):
+    """Session windows (30-min gap) per user over the event log."""
+    from metacache_mpi_ray.stages.windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.int64())
+        )
+
+    return sessionize(ev.map_batches(to_epoch, batch_format="pyarrow"), "user_id", "ts")
+
+
+def q_cluster_members(sf_dir: str):
+    """Grouped collect-list (A6 analog: matches-per-target inversion):
+    exact-dup groups with their sorted member list."""
+    docs = read_docs(sf_dir)
+
+    import pandas as pd
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        return pd.DataFrame(
+            {"rep_id": [ids[0]], "members": [",".join(map(str, ids))]}
+        )
+
+    return docs.select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
+        per_group, batch_format="pandas"
+    ).select_columns(["rep_id", "members"])
+
+
+def q_exclude_top_docs(sf_dir: str):
+    """Anti-join against a broadcast exclusion set (M9 clade-exclusion
+    analog)."""
+    from metacache_mpi_ray.stages.joins import anti_join_broadcast
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars"])
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10).to_pandas()
+    return anti_join_broadcast(ds, top["doc_id"].tolist(), on="doc_id")
+
+
+def q_orders_asof_step(sf_dir: str):
+    """As-of (nearest-key-below) lookup against a broadcast sorted step
+    table (J3 analog: the reference's upper_bound prefix fallback)."""
+    from metacache_mpi_ray.stages.joins import asof_lookup
+
+    steps_ts = np.array(
+        [np.datetime64(f"{y}-01-01", "us").astype(np.int64) for y in range(1995, 2002)]
+    )
+    step_ids = np.arange(1, len(steps_ts) + 1, dtype=np.int64)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            t["o_orderdate"].cast(pa.int64()),
+        )
+
+    out = asof_lookup(
+        orders.map_batches(to_epoch, batch_format="pyarrow"),
+        steps_ts, step_ids, on="o_orderdate", out_col="step_id",
+    )
+    return out.select_columns(["o_orderkey", "step_id"])
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (rows-only driver check; full correctness
 # in pytest vs brute-force oracles)
@@ -224,6 +381,71 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(emb, sim_threshold=0.95, num_partitions=8)
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media binary column -> decoded
+    features via an actor-pool stage (decode kernel stubbed; schema,
+    batch sizing and actor signature real)."""
+    from metacache_mpi_ray.stages.multimodal import (
+        media_feature_pipeline,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(256, seed=7))
+    out = media_feature_pipeline(media, concurrency=2, batch_size=64)
+    return out.select_columns(["media_id", "width", "height"])
+
+
+def q_video_frame_sample(sf_dir: str):
+    from metacache_mpi_ray.stages.multimodal import FrameSampler, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(128, seed=9))
+    vids = media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "video")),
+        batch_format="pyarrow",
+    )
+    out = vids.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": 4, "deterministic_fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.select_columns(["media_id", "frame_id"])
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF (coarse-quantizer) approximate nearest neighbors — the scale
+    path; bounded recall, so checked rows-only (exact overlap vs brute
+    force asserted in pytest)."""
+    from metacache_mpi_ray.stages.ann import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, query_ids=list(range(5)), k=5, n_cells=8, nprobe=3)
+
+
+def q_merged_dedup_runs(sf_dir: str):
+    """Merge-mode (D5 analog): dedup two halves of the corpus
+    independently, union their verified edge sets, re-cluster."""
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+    from metacache_mpi_ray.pipelines.merge import merge_cluster_runs
+
+    docs = read_docs(sf_dir).materialize()
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    half_a, half_b = half(0), half(1)
+    ra = near_dup_pipeline(half_a, CFG, num_partitions=4)
+    rb = near_dup_pipeline(half_b, CFG, num_partitions=4)
+    return merge_cluster_runs(docs, ra.verified_edges, rb.verified_edges)
+
+
 QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "distinct_docs": q_distinct_docs,
@@ -237,7 +459,19 @@ QUERIES = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "events_window_agg": q_events_window_agg,
     "doc_fingerprints": q_doc_fingerprints,
+    "orders_customer_join": q_orders_customer_join,
+    "lineitem_orders_join": q_lineitem_orders_join,
+    "top_events_per_user": q_top_events_per_user,
+    "events_with_prev": q_events_with_prev,
+    "sessionize_events": q_sessionize_events,
+    "cluster_members": q_cluster_members,
+    "exclude_top_docs": q_exclude_top_docs,
+    "orders_asof_step": q_orders_asof_step,
     # non-SQL (rows-only driver check):
+    "media_features": q_media_features,
+    "video_frame_sample": q_video_frame_sample,
+    "ivf_topk": q_ivf_topk,
+    "merged_dedup_runs": q_merged_dedup_runs,
     "minhash_clusters": q_minhash_clusters,
     "minhash_signatures": q_minhash_signatures,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -300,6 +534,52 @@ ORACLE_SQL = {
         "count(*) AS n_events, min(event_id) AS first_event, "
         "max(event_id) AS last_event "
         "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"
+    ),
+    "orders_customer_join": (
+        "SELECT o_orderkey, c_name, c_mktsegment FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    ),
+    "lineitem_orders_join": (
+        "SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty, "
+        "epoch_us(o_orderdate) AS order_epoch "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ),
+    "top_events_per_user": (
+        "SELECT user_id, event_id, rank FROM ("
+        "  SELECT user_id, event_id, row_number() OVER ("
+        "    PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank "
+        "  FROM events) WHERE rank <= 3"
+    ),
+    "events_with_prev": (
+        "SELECT user_id, event_id, lag(event_id) OVER ("
+        "  PARTITION BY user_id ORDER BY epoch_us(ts) ASC) AS prev_event "
+        "FROM events"
+    ),
+    "sessionize_events": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events), "
+        "m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "  OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, CAST(sum(new) OVER ("
+        "  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "min(ts) AS t_start, max(ts) AS t_end "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+    "cluster_members": (
+        "SELECT min(doc_id) AS rep_id, string_agg(doc_id, ',' ORDER BY doc_id) AS members "
+        "FROM documents GROUP BY text"
+    ),
+    "exclude_top_docs": (
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN ("
+        "  SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10)"
+    ),
+    "orders_asof_step": (
+        "SELECT o_orderkey, (SELECT max(s.step_id) FROM ("
+        "  SELECT epoch_us(CAST(concat(y, '-01-01') AS TIMESTAMP)) AS ts, "
+        "         y - 1994 AS step_id FROM range(1995, 2002) t(y)) s "
+        "  WHERE s.ts <= epoch_us(o_orderdate)) AS step_id "
+        "FROM orders"
     ),
     "ann_topk": (
         "SELECT query_id, neighbor_id, rank FROM ("

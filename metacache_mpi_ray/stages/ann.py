@@ -122,6 +122,65 @@ def brute_force_topk(embeddings, query_ids: list[int], k: int = 5, *, concurrenc
     return rd.from_pandas(out)
 
 
+def _kmeans(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Tiny numpy k-means for the IVF coarse quantizer (driver-side on a
+    sample; deterministic)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    embeddings,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 3,
+    train_sample: int = 4096,
+):
+    """IVF approximate top-k: coarse k-means cells (trained driver-side
+    on a sample, centroids broadcast), search restricted to the nprobe
+    nearest cells per query — the scale path where brute force over the
+    full table is too expensive. Bounded recall by construction.
+    """
+    samp = embeddings.limit(train_sample).to_pandas()
+    smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in samp["embedding"]]))
+    cent = _kmeans(smat, n_cells, seed)
+    cent = _normalize(cent)
+    cent_ref = ray.put(cent)
+
+    qset = pa.array([int(q) for q in query_ids], type=pa.int64())
+    qtab = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    qmat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]]))
+    # cells to probe = union over queries of their nprobe nearest cells
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probe_cells = np.unique(qcells)
+    probe_ref = ray.put(np.sort(probe_cells))
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        pr = ray.get(probe_ref)
+        mat = _normalize(_emb_matrix(batch["embedding"]))
+        cells = (mat @ c.T).argmax(axis=1)
+        pos = np.minimum(np.searchsorted(pr, cells), len(pr) - 1)
+        return batch.filter(pa.array(pr[pos] == cells))
+
+    candidates = embeddings.map_batches(cell_filter, batch_format="pyarrow")
+    return brute_force_topk(candidates, query_ids, k)
+
+
 def hyperplane_codes(mat: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     """Random-hyperplane sign pattern -> int64 bucket code per row."""
     d = mat.shape[1]

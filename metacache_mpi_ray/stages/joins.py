@@ -1,0 +1,73 @@
+"""Join operators — the reference's lookup patterns re-expressed.
+
+* ``broadcast_join`` — small dimension side shipped once via ray.put,
+  probed per batch with a vectorized pandas merge. The analog of the
+  reference's accession2taxid streaming probe (J2,
+  /root/reference/src/mode_build.cpp:174-238: big side streamed, small
+  side held in memory).
+* ``large_join`` — both sides large: Ray's hash-partitioned
+  ``Dataset.join`` (explicit num_partitions = the shuffle).
+* ``asof_lookup`` — nearest-key fallback lookup via np.searchsorted
+  against a broadcast sorted key array (J3 analog,
+  /root/reference/src/mode_build.cpp:531-550: exact then upper_bound
+  prefix match).
+* ``anti_join_broadcast`` — exclusion filtering (M9 clade-exclusion
+  analog, /root/reference/src/classification.cpp:141-157).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def broadcast_join(big, small_df: "pd.DataFrame", on: str, *, how: str = "inner"):
+    """big (Dataset) x small (pandas) -> Dataset, no shuffle of big."""
+    ref = ray.put(small_df)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return batch.merge(small, on=on, how=how)
+
+    return big.map_batches(probe, batch_format="pandas")
+
+
+def large_join(left, right, on: tuple[str, ...], *, num_partitions: int = 32, join_type: str = "inner"):
+    """Hash-partitioned join of two large Datasets (both sides shuffle)."""
+    return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on)
+
+
+def anti_join_broadcast(ds, exclude_keys, on: str):
+    """Drop rows whose ``on`` value is in the broadcast exclusion set."""
+    keys = np.sort(np.asarray(list(exclude_keys), dtype=np.int64))
+    ref = ray.put(keys)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        vals = batch[on].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return batch
+        pos = np.minimum(np.searchsorted(k, vals), len(k) - 1)
+        return batch.filter(pa.array(k[pos] != vals))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def asof_lookup(ds, keys_sorted: np.ndarray, values: np.ndarray, on: str, out_col: str):
+    """For each row, value of the greatest broadcast key <= row key
+    (as-of semantics; rows before the first key get null)."""
+    ref = ray.put((np.asarray(keys_sorted), np.asarray(values)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        x = batch[on].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, x, side="right") - 1
+        valid = idx >= 0
+        out = np.where(valid, v[np.maximum(idx, 0)], 0)
+        arr = pa.array(out, type=pa.int64(), mask=~valid)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")

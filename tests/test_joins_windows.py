@@ -1,0 +1,150 @@
+"""Tests for join operators, windowed/grouped ops, multimodal plumbing,
+IVF ANN, and merge mode."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_broadcast_join_matches_pandas():
+    from metacache_mpi_ray.stages.joins import broadcast_join
+
+    big = pd.DataFrame({"k": [1, 2, 3, 2, 9], "x": [10, 20, 30, 40, 50]})
+    small = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    out = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+    exp = big.merge(small, on="k")
+    assert len(out) == len(exp) == 4
+    assert set(zip(out["x"], out["name"])) == set(zip(exp["x"], exp["name"]))
+
+
+def test_anti_join_broadcast():
+    from metacache_mpi_ray.stages.joins import anti_join_broadcast
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+    out = anti_join_broadcast(ds, [2, 4], on="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 5]
+
+
+def test_asof_lookup():
+    from metacache_mpi_ray.stages.joins import asof_lookup
+
+    ds = rd.from_pandas(pd.DataFrame({"t": [5, 10, 15, 3, 100]}))
+    keys = np.array([4, 10, 50])
+    vals = np.array([1, 2, 3])
+    out = asof_lookup(ds, keys, vals, on="t", out_col="step").to_pandas()
+    got = dict(zip(out["t"], out["step"]))
+    assert got[5] == 1 and got[10] == 2 and got[15] == 2 and got[100] == 3
+    assert pd.isna(got[3])
+
+
+def test_topk_lag_sessionize():
+    from metacache_mpi_ray.stages.windows import lag_per_group, sessionize, topk_per_group
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2],
+            "ts": [100, 200, 5_000_000_000, 10, 20],
+            "v": [5.0, 9.0, 7.0, 1.0, 2.0],
+            "id": [1, 2, 3, 4, 5],
+        }
+    )
+    ds = rd.from_pandas(df)
+    top = topk_per_group(ds, "u", "v", 2, tiebreak=["id"]).to_pandas()
+    got = {(r.u, r["rank"]): r.id for _, r in top.iterrows()}
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 3
+    assert got[(2, 1)] == 5 and got[(2, 2)] == 4
+
+    lag = lag_per_group(ds, "u", "ts", "v").to_pandas()
+    u1 = lag[lag["u"] == 1].sort_values("ts")
+    assert pd.isna(u1["prev_value"].iloc[0]) and u1["prev_value"].iloc[1] == 5.0
+
+    ses = sessionize(ds, "u", "ts", gap_us=1800_000_000).to_pandas()
+    u1s = ses[ses["u"] == 1]
+    assert len(u1s) == 2  # big gap splits user 1 into two sessions
+    assert sorted(u1s["n_events"]) == [1, 2]
+
+
+def test_multimodal_plumbing():
+    from metacache_mpi_ray.stages.multimodal import (
+        FrameSampler,
+        ImageDecoder,
+        ImageResizer,
+        media_feature_pipeline,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(64, seed=3))
+    feats = media_feature_pipeline(media, concurrency=2, batch_size=16).to_pandas()
+    assert len(feats) == 64
+    assert {"media_id", "width", "height", "feature"} <= set(feats.columns)
+
+    # determinism: same input -> identical fake features
+    feats2 = media_feature_pipeline(
+        rd.from_arrow(synth_media_table(64, seed=3)), concurrency=2, batch_size=16
+    ).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert (a["width"] == b["width"]).all()
+
+    # real-codec integration point is explicit
+    dec = ImageDecoder(deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        dec(synth_media_table(2))
+
+    rs = ImageResizer(target_bytes=128, deterministic_fake=True)
+    out = rs(synth_media_table(4))
+    assert out["n_bytes"].to_pylist() == [128] * 4
+
+    fs = FrameSampler(n_frames=4, deterministic_fake=True)
+    frames = fs(synth_media_table(3))
+    assert len(frames) == 12
+
+
+def test_ivf_topk_recall_vs_brute_force():
+    from metacache_mpi_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(200, 16))
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(200), type=pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab)
+    bf = brute_force_topk(ds, [0, 1, 2], k=5, concurrency=2).to_pandas()
+    iv = ivf_topk(ds, [0, 1, 2], k=5, n_cells=4, nprobe=3).to_pandas()
+    # nprobe=3 of 4 cells: expect most of the true top-5 recovered
+    overlap = 0
+    for q in (0, 1, 2):
+        b = set(bf[bf["query_id"] == q]["neighbor_id"])
+        i = set(iv[iv["query_id"] == q]["neighbor_id"])
+        overlap += len(b & i)
+    assert overlap >= 10  # >= 2/3 average recall on this easy layout
+
+
+def test_merge_runs_reconnects_split_halves(corpus_dir):
+    """Splitting the corpus breaks cross-half dup pairs per-run; the
+    merge must still union each run's own findings consistently."""
+    import ray.data as rd
+
+    from metacache_mpi_ray.config import DedupConfig
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+    from metacache_mpi_ray.pipelines.merge import merge_cluster_runs
+    from metacache_mpi_ray.stages.ingest import ingest_pages
+
+    cfg = DedupConfig()
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages")).materialize()
+    full = near_dup_pipeline(docs, cfg, num_partitions=4)
+    merged = merge_cluster_runs(
+        docs, full.verified_edges, full.verified_edges
+    ).to_pandas()
+    ref = full.clusters.to_pandas()
+    m = merged.sort_values("doc_id").reset_index(drop=True)
+    r = ref.sort_values("doc_id").reset_index(drop=True)
+    # merging a run with itself must be idempotent
+    assert (m["cluster_id"].values == r["cluster_id"].values).all()
