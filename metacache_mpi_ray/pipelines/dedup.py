@@ -36,6 +36,7 @@ def near_dup_pipeline(
     *,
     num_partitions: int = 32,
     signer_concurrency: int | None = None,
+    include_substring: bool = False,
 ) -> DedupResult:
     """Run the full MinHash/LSH dedup over a canonical ``docs`` dataset.
 
@@ -59,7 +60,36 @@ def near_dup_pipeline(
     )
     edges = dedupe_edges(raw_edges, num_partitions=num_partitions).materialize()
     verified = verify_edges(edges, sigs, cfg, num_partitions=num_partitions).materialize()
-    clusters = assign_clusters(docs, verified)
+    if include_substring:
+        # exact long-match substring edges (suffix/anchor stage, F6
+        # analog): docs sharing an exact span >= ~min_match_len are
+        # duplicates even when whole-doc Jaccard is below threshold
+        from metacache_mpi_ray.stages.substring import substring_dup_edges
+
+        sub_edges = substring_dup_edges(
+            docs, cfg, num_partitions=num_partitions
+        ).materialize()
+
+        def strip(t):
+            import pyarrow as _pa
+
+            return _pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "est_sim": _pa.array(
+                        [1.0] * len(t), type=_pa.float64()
+                    ),
+                }
+            )
+
+        verified = verified.union(
+            sub_edges.map_batches(strip, batch_format="pyarrow")
+        ).materialize()
+    # assign over the materialized signatures (same doc_id set as docs);
+    # re-running the ingest lineage just to read doc_id would re-parse
+    # the whole input a second time
+    clusters = assign_clusters(sigs, verified)
     return DedupResult(signatures=sigs, verified_edges=verified, clusters=clusters)
 
 

@@ -54,7 +54,22 @@ def _combine_keys(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Table
     )
 
 
-def _make_edge_emitter(id_col: str, cap: int):
+def _make_edge_emitter(id_col: str, cap: int, hot_policy: str = "drop"):
+    """hot_policy — what to do with bucket fragments larger than cap:
+
+    * ``drop``   — reference parity (overpopulated features cleared,
+                   /root/reference/src/sketch_database.h:398-417);
+                   non-discriminative boilerplate buckets vanish.
+    * ``star``   — emit the full star anyway (edges stay LINEAR in
+                   bucket size — the star construction is itself the
+                   skew mitigation vs. O(m^2) pair expansion); recall
+                   survives hot buckets, verification load grows.
+    * ``sample`` — star over a deterministic cap-size sample (smallest
+                   hash-mixed ids), bounding verification load while
+                   keeping a connectivity core; the "salted" middle
+                   ground from SURVEY.md §7.3.
+    """
+
     def emit(batch: pa.Table) -> pa.Table:
         keys = batch["bkey"].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -73,12 +88,30 @@ def _make_edge_emitter(id_col: str, cap: int):
         sizes = np.diff(np.append(starts, n))
         mins = np.minimum.reduceat(ids, starts)
         ok = sizes <= cap
-        # star edges for surviving groups
+        if hot_policy == "star":
+            ok = np.ones_like(ok)
         keep_groups = ok & (sizes > 1)
         a = np.repeat(mins[keep_groups], sizes[keep_groups])
         b_mask = np.repeat(keep_groups, sizes)
         b = ids[b_mask]
         sel = a != b
+        if hot_policy == "sample" and (~ok & (sizes > 1)).any():
+            # hot groups: star over the cap smallest mixed ids
+            hot = np.flatnonzero(~ok & (sizes > 1))
+            extra_a, extra_b = [], []
+            for g in hot:
+                grp = ids[starts[g] : starts[g] + sizes[g]]
+                mix = splitmix64(grp.view(U64))
+                pick = grp[np.argsort(mix)[:cap]]
+                m = pick.min()
+                extra_a.append(np.full(len(pick), m, dtype=np.int64))
+                extra_b.append(pick)
+            ea = np.concatenate(extra_a)
+            eb = np.concatenate(extra_b)
+            es = ea != eb
+            a = np.concatenate([a[sel], ea[es]])
+            b = np.concatenate([b[sel], eb[es]])
+            sel = np.ones(len(a), dtype=bool)
         # bridge rows: first + last group of this batch (possible split
         # fragments), regardless of size
         bridge_idx = [0] if len(starts) == 1 else [0, len(starts) - 1]
@@ -108,18 +141,20 @@ def bucket_edges(
     id_col: str = "doc_id",
     cap: int = 256,
     num_partitions: int = 32,  # kept for API compat; sort picks its own
+    hot_policy: str = "drop",
 ):
     """rows(key_cols..., id_col) -> candidate edges (a < b, a = bucket min).
 
     Returns a MaterializedDataset (the edge list is the natural
     checkpoint artifact; at scale it is written to Parquet instead —
-    see pipelines/dedup.run_dedup_checkpointed)."""
+    see pipelines/checkpointed.py). ``hot_policy`` controls over-cap
+    buckets (see _make_edge_emitter)."""
     keyed = ds.map_batches(
         lambda t: _combine_keys(t, key_cols, id_col), batch_format="pyarrow"
     )
     emitted = (
         keyed.sort("bkey")
-        .map_batches(_make_edge_emitter(id_col, cap), batch_format="pyarrow")
+        .map_batches(_make_edge_emitter(id_col, cap, hot_policy), batch_format="pyarrow")
         .materialize()
     )
     def _split(want_bridge: bool, cols: list[str]):

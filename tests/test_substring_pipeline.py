@@ -1,0 +1,107 @@
+"""Substring-dedup integration + hot-bucket policies + verify-strategy
+parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+from metacache_mpi_ray.stages.ingest import ingest_pages
+
+CFG = DedupConfig()
+
+
+def test_substring_stage_clusters_long_shared_spans(corpus_dir):
+    truth = pq.read_table(f"{corpus_dir}/truth.parquet").to_pandas()
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages")).materialize()
+
+    plain = near_dup_pipeline(docs, CFG, num_partitions=4)
+    withsub = near_dup_pipeline(docs, CFG, num_partitions=4, include_substring=True)
+
+    docs_pd = docs.to_pandas()[["doc_id", "url"]]
+
+    def clustered_truth_groups(res):
+        cl = res.clusters.to_pandas().merge(docs_pd, on="doc_id").merge(truth, on="url")
+        sub = cl[cl["dup_kind"] == "substring"]
+        grp = sub.groupby("true_cluster")["cluster_id"].nunique()
+        return (grp == 1).mean(), len(grp)
+
+    frac_plain, n_groups = clustered_truth_groups(plain)
+    frac_sub, _ = clustered_truth_groups(withsub)
+    assert n_groups >= 3
+    # substring pairs share a long exact span but low whole-doc Jaccard:
+    # the substring stage must connect (almost) all of them
+    assert frac_sub >= 0.9
+    assert frac_sub >= frac_plain
+
+
+def _hot_bucket_ds():
+    """200 rows all landing in ONE bucket (same key)."""
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([7] * 200, type=pa.int64()),
+                "doc_id": pa.array(range(200), type=pa.int64()),
+            }
+        )
+    )
+
+
+def test_hot_bucket_policies():
+    from metacache_mpi_ray.stages.candidates import bucket_edges
+
+    ds = _hot_bucket_ds()
+    drop = bucket_edges(ds, ["k"], cap=50, hot_policy="drop").to_pandas()
+    assert len(drop) == 0  # reference semantics: overpopulated key cleared
+
+    star = bucket_edges(ds, ["k"], cap=50, hot_policy="star").to_pandas()
+    assert len(star) == 199  # full star, linear in bucket size
+    assert (star["a"] == 0).all()
+
+    samp = bucket_edges(ds, ["k"], cap=50, hot_policy="sample").to_pandas()
+    assert 0 < len(samp) <= 50
+    # deterministic across runs
+    samp2 = bucket_edges(_hot_bucket_ds(), ["k"], cap=50, hot_policy="sample").to_pandas()
+    assert sorted(samp["b"]) == sorted(samp2["b"])
+
+
+def test_verify_join_strategy_matches_broadcast(corpus_dir):
+    from metacache_mpi_ray.stages.banding import compute_bands
+    from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+    from metacache_mpi_ray.stages.verify import verify_edges
+
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages"))
+    sigs = compute_signatures(docs, CFG, batch_size=1024).materialize()
+    edges = dedupe_edges(
+        bucket_edges(
+            compute_bands(sigs, CFG), ["band_id", "band_hash"], cap=CFG.bucket_cap
+        ),
+        num_partitions=4,
+    ).materialize()
+    vb = verify_edges(edges, sigs, CFG, strategy="broadcast").to_pandas()
+    vj = verify_edges(edges, sigs, CFG, num_partitions=4, strategy="join").to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"]))
+    assert key(vb) == key(vj)
+
+
+def test_exact_jaccard_verification(corpus_dir):
+    from metacache_mpi_ray.stages.banding import compute_bands
+    from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+    from metacache_mpi_ray.stages.verify import verify_edges_exact_jaccard
+
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages")).materialize()
+    sigs = compute_signatures(docs, CFG, batch_size=1024).materialize()
+    edges = dedupe_edges(
+        bucket_edges(
+            compute_bands(sigs, CFG), ["band_id", "band_hash"], cap=CFG.bucket_cap
+        ),
+        num_partitions=4,
+    ).materialize()
+    vx = verify_edges_exact_jaccard(edges, docs, CFG).to_pandas()
+    assert len(vx) > 50
+    assert (vx["jaccard"] >= CFG.sim_threshold).all()
