@@ -125,17 +125,27 @@ def run_scaling() -> dict:
 
     _corpus_dir()  # generate + warm once, outside timing
     lo, hi = SCALE_LO, SCALE_HI
-    r_lo, r_hi = one(lo), one(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    # the sandbox VM's effective CPU capacity fluctuates (noisy
+    # neighbors); alternate lo/hi runs and take medians so one slow
+    # window doesn't skew the ratio
+    lows, highs, n_docs = [], [], None
+    for _ in range(reps):
+        r_lo, r_hi = one(lo), one(hi)
+        lows.append(r_lo["value"])
+        highs.append(r_hi["value"])
+        n_docs = r_lo["n_docs"]
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    t_lo, t_hi = med(lows), med(highs)
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": f"scaling efficiency (N={lo} -> {hi} CPUs, same input)",
+        "metric": f"scaling efficiency (N={lo} -> {hi} CPUs, same input, median of {reps})",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"all_sec_{lo}": lows,
+        f"all_sec_{hi}": highs,
         "scaling_efficiency": round(eff, 3),
-        "n_docs": r_lo["n_docs"],
+        "n_docs": n_docs,
     }
 
 

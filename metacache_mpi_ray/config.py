@@ -30,8 +30,15 @@ class DedupConfig:
 
     # --- shingling / MinHash (analog of sketcher params, T3) ---
     shingle_k: int = 16          # char-level shingle width over normalized text
-    n_perms: int = 128           # number of MinHash permutations
+    n_perms: int = 128           # signature length (perms / OPH bins)
     seed: int = 0x5EED_CAFE      # seeds the permutation constants
+    # "oph": one-permutation hashing + rotation densification — one pass
+    #   over the shingle stream (O(M)), the at-scale scheme;
+    # "kperm": classic n_perms independent (a*h+b) permutations
+    #   (O(M * n_perms)) — the reference-shaped scheme.
+    # Both are unbiased Jaccard estimators; signatures are NOT
+    # compatible across schemes (config guard protects checkpoints).
+    minhash_scheme: str = "oph"
 
     # --- LSH banding ---
     n_bands: int = 32            # n_perms must be divisible by n_bands

@@ -76,7 +76,7 @@ def run_dedup_checkpointed(
 
     def sig_shard(k: int):
         docs = ingest_pages(rd.read_parquet(shard_files[k]))
-        return compute_signatures(docs, cfg, batch_size=1024)
+        return compute_signatures(docs, cfg, batch_size=128)
 
     t0 = time.time()
     sigs = sharded_checkpointed_stage(

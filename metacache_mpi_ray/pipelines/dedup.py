@@ -38,6 +38,7 @@ def near_dup_pipeline(
     signer_concurrency: int | None = None,
     include_substring: bool = False,
     dedupe_pairs: bool = False,
+    cluster_method: str = "driver",
 ) -> DedupResult:
     """Run the full MinHash/LSH dedup over a canonical ``docs`` dataset.
 
@@ -49,7 +50,7 @@ def near_dup_pipeline(
     """
     cfg = cfg or DedupConfig()
     sigs = compute_signatures(
-        docs, cfg, concurrency=signer_concurrency, batch_size=1024
+        docs, cfg, concurrency=signer_concurrency, batch_size=128
     ).materialize()
     bands = compute_bands(sigs, cfg)
     raw_edges = bucket_edges(
@@ -69,7 +70,12 @@ def near_dup_pipeline(
         if dedupe_pairs
         else raw_edges
     )
-    verified = verify_edges(edges, sigs, cfg, num_partitions=num_partitions).materialize()
+    # strategy fixed to broadcast: skips the auto-detection count pass;
+    # the dup subset fits one object at any sandbox scale (the join
+    # fallback remains available via verify_edges(strategy="join"))
+    verified = verify_edges(
+        edges, sigs, cfg, num_partitions=num_partitions, strategy="broadcast"
+    ).materialize()
     if include_substring:
         # exact long-match substring edges (suffix/anchor stage, F6
         # analog): docs sharing an exact span >= ~min_match_len are
@@ -98,8 +104,19 @@ def near_dup_pipeline(
         ).materialize()
     # assign over the materialized signatures (same doc_id set as docs);
     # re-running the ingest lineage just to read doc_id would re-parse
-    # the whole input a second time
-    clusters = assign_clusters(sigs, verified)
+    # the whole input a second time.
+    # cluster_method: "driver" = DSU over the streamed edge list +
+    # broadcast labels (edges are small after verification);
+    # "distributed" = min-label propagation + hash join (the scale path
+    # when the dup subset outgrows one process).
+    if cluster_method == "distributed":
+        from metacache_mpi_ray.stages.cluster import assign_clusters_distributed
+
+        clusters = assign_clusters_distributed(
+            sigs, verified, num_partitions=num_partitions
+        )
+    else:
+        clusters = assign_clusters(sigs, verified)
     return DedupResult(signatures=sigs, verified_edges=verified, clusters=clusters)
 
 

@@ -183,7 +183,12 @@ def bucket_edges(
             ).drop_duplicates()
             if len(extra_df):
                 edges = edges.union(ray.data.from_pandas(extra_df))
-    return edges
+    # materialize: the edge list is consumed several times downstream
+    # (count, endpoint collection, scoring) and re-executing a
+    # filter+union lineage per consumer both wastes work and has shown
+    # executor stalls at low CPU counts; the edge list is small (3 ints
+    # per row) and is the natural checkpoint artifact anyway
+    return edges.materialize()
 
 
 def dedupe_edges(edges, num_partitions: int = 32):

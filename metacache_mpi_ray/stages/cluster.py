@@ -17,26 +17,29 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data.aggregate import Min
 
-from metacache_mpi_ray.state.unionfind import labels_from_edges
-
 
 def assign_clusters(docs, edges, *, id_col: str = "doc_id"):
     """docs + verified edges -> clusters dataset (doc_id, cluster_id, is_dup)."""
-    labels = labels_from_edges(edges)
-    labels_ref = ray.put(labels)
+    from metacache_mpi_ray.state.unionfind import labels_arrays_from_edges
+
+    nodes, labels = labels_arrays_from_edges(edges)
+    labels_ref = ray.put((nodes, labels))
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        lab = ray.get(labels_ref)
+        nodes_s, labs = ray.get(labels_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mapped = pd.Series(ids).map(lab)  # vectorized dict lookup
-        dup = mapped.notna().to_numpy()
-        out = mapped.fillna(pd.Series(ids)).to_numpy(dtype=np.int64)
+        if len(nodes_s) == 0:
+            dup = np.zeros(len(ids), dtype=bool)
+            out = ids.astype(np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(nodes_s, ids), len(nodes_s) - 1)
+            dup = nodes_s[pos] == ids
+            out = np.where(dup, labs[pos], ids).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -46,6 +49,36 @@ def assign_clusters(docs, edges, *, id_col: str = "doc_id"):
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def assign_clusters_distributed(
+    docs, edges, *, id_col: str = "doc_id", num_partitions: int = 32
+):
+    """Fully distributed cluster assignment: connected components via
+    min-label propagation, then a left-outer hash join of the label
+    table onto docs. The scale path when the dup subset itself is too
+    large for one driver-side DSU / one broadcast object."""
+    labels = propagate_min_labels(edges, num_partitions=num_partitions)
+    joined = docs.select_columns([id_col]).join(
+        labels,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # nullable int64 must stay in Arrow: a numpy conversion would go
+        # through float64 and round doc_ids above 2**53
+        lab = batch["cluster_id"]
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "cluster_id": pc.coalesce(lab, batch[id_col]).cast(pa.int64()),
+                "is_dup": pc.is_valid(lab),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):

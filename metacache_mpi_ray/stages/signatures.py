@@ -31,7 +31,6 @@ from metacache_mpi_ray.functions.hashing import (
     concat_shingle_hashes,
     minhash_perm_constants,
 )
-from metacache_mpi_ray.functions.text import texts_to_bytes
 
 
 def minhash_from_shingles(
@@ -53,14 +52,52 @@ def minhash_from_shingles(
     return sig
 
 
+def oph_minhash_from_shingles(
+    hashes: np.ndarray, offsets: np.ndarray, n_bins: int
+) -> np.ndarray:
+    """One-permutation hashing (Li, Owen, Zhang 2012) with rotation
+    densification (Shrivastava & Li 2014): shingles land in
+    ``n_bins`` bins by their top hash bits; the signature is the min
+    hash value per bin, empty bins borrow circularly from the next
+    filled bin. ONE O(M log M) pass over the shingle stream instead of
+    n_perms passes — the at-scale scheme. Requires fmix-finalized
+    (uniform) hashes; n_bins must be a power of two.
+    """
+    n = len(offsets) - 1
+    shift = U64(64 - int(n_bins).bit_length() + 1)
+    sig = np.full((n, n_bins), np.iinfo(np.uint64).max, dtype=U64)
+    if n == 0 or len(hashes) == 0:
+        return sig
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    bins = (hashes >> shift).astype(np.int64)
+    key = doc_idx * n_bins + bins
+    np.minimum.at(sig.reshape(-1), key, hashes)  # vectorized scatter-min
+    # rotation densification: empty bin j takes the value of the next
+    # filled bin to its left, circularly (two ffill sweeps over columns)
+    SENT = np.iinfo(np.uint64).max
+    for _sweep in range(2):
+        prev = sig[:, -1].copy()
+        for j in range(n_bins):
+            col = sig[:, j]
+            empty = col == SENT
+            if empty.any():
+                col[empty] = prev[empty]
+            prev = col
+    return sig
+
+
 def minhash_matrix(
     texts: list[bytes], cfg: DedupConfig, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
     """(ndocs, n_perms) u64 signature matrix for a batch of documents
     (list-of-bytes reference path; the hot path feeds Arrow buffers to
-    minhash_from_shingles directly — both produce identical values)."""
+    the same kernels — both produce identical values)."""
     if len(texts) == 0:
         return np.empty((0, cfg.n_perms), dtype=U64)
+    if cfg.minhash_scheme == "oph":
+        hashes, offsets = concat_shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+        return oph_minhash_from_shingles(hashes, offsets, cfg.n_perms)
     # fmix finalization skipped: the (a*h+b) permutations are the
     # dispersal step, and fmix is a bijection (same Jaccard structure)
     hashes, offsets = concat_shingle_hashes(
@@ -133,10 +170,18 @@ class MinHashSigner:
 
         # zero-copy: hash straight out of the Arrow string buffer
         data, starts, ends = arrow_string_buffer(batch["norm_text"])
-        hashes, offsets = shingle_hashes_from_buffer(
-            data, starts, ends, self.cfg.shingle_k, self.cfg.seed, finalize=False
-        )
-        sig = minhash_from_shingles(hashes, offsets, self.cfg.n_perms, self.a, self.b)
+        if self.cfg.minhash_scheme == "oph":
+            hashes, offsets = shingle_hashes_from_buffer(
+                data, starts, ends, self.cfg.shingle_k, self.cfg.seed
+            )
+            sig = oph_minhash_from_shingles(hashes, offsets, self.cfg.n_perms)
+        else:
+            hashes, offsets = shingle_hashes_from_buffer(
+                data, starts, ends, self.cfg.shingle_k, self.cfg.seed, finalize=False
+            )
+            sig = minhash_from_shingles(
+                hashes, offsets, self.cfg.n_perms, self.a, self.b
+            )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

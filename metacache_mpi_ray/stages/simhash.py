@@ -18,7 +18,6 @@ import pyarrow as pa
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.functions.hashing import U64, concat_shingle_hashes
-from metacache_mpi_ray.functions.text import texts_to_bytes
 from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
 
 

@@ -14,7 +14,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from metacache_mpi_ray.functions.hashing import hash_str_column
 
 STOPWORD_RE = r"\b(the|and|of|a|to|in|is|it|that|for)\b"
 

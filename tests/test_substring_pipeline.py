@@ -105,3 +105,13 @@ def test_exact_jaccard_verification(corpus_dir):
     vx = verify_edges_exact_jaccard(edges, docs, CFG).to_pandas()
     assert len(vx) > 50
     assert (vx["jaccard"] >= CFG.sim_threshold).all()
+
+
+def test_distributed_cluster_method_matches_driver(corpus_dir):
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages")).materialize()
+    d = near_dup_pipeline(docs, CFG, num_partitions=4, cluster_method="driver").clusters.to_pandas()
+    x = near_dup_pipeline(docs, CFG, num_partitions=4, cluster_method="distributed").clusters.to_pandas()
+    m = d.sort_values("doc_id").reset_index(drop=True)
+    k = x.sort_values("doc_id").reset_index(drop=True)
+    assert (m["cluster_id"].values == k["cluster_id"].values).all()
+    assert (m["is_dup"].values == k["is_dup"].values).all()
