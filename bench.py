@@ -90,11 +90,18 @@ def run_bench() -> dict:
     headline = time.time() - t0
     queries["dedup_synth"] = round(headline, 3)
 
+    from metacache_mpi_ray.pipelines.queries import (
+        q_simhash_dup_pairs,
+        q_substring_candidates,
+    )
+
     for name, fn in [
         ("exact_dedup_sf", q_exact_dedup_groups),
         ("token_count_stats_sf", q_token_count_stats),
         ("lineitem_pricing_summary_sf", q_lineitem_pricing_summary),
         ("events_window_agg_sf", q_events_window_agg),
+        ("simhash_dedup_sf", q_simhash_dup_pairs),
+        ("substring_candidates_sf", q_substring_candidates),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
