@@ -100,12 +100,29 @@ def sharded_checkpointed_stage(
     compute_shard,  # (shard_id) -> ray.data.Dataset
     *,
     read_columns: list[str] | None = None,
+    total_shards: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-shard resumable stage: each shard is checkpointed atomically
     under <root>/<stage>/shard=<k>/; finished shards are skipped on
     resume (kill/restart test in tests/test_checkpoint.py)."""
     stage_dir = os.path.join(root, stage)
     os.makedirs(stage_dir, exist_ok=True)
+    # shard-layout guard: resuming with a different shard count would
+    # silently mix incompatible shard assignments (mirrors the config
+    # guard; the reference equivalent is the per-rank DB file count)
+    layout_path = os.path.join(stage_dir, ".shard_layout")
+    layout = f"{total_shards if total_shards is not None else len(shard_ids)}"
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            if f.read().strip() != layout:
+                raise ConfigMismatch(
+                    f"stage {stage!r} at {root} was checkpointed with a "
+                    f"different shard count; refusing to resume"
+                )
+    else:
+        with open(layout_path + ".tmp", "w") as f:
+            f.write(layout)
+        os.replace(layout_path + ".tmp", layout_path)
     for k in shard_ids:
         sdir = os.path.join(stage_dir, f"shard={k}")
         smarker = os.path.join(stage_dir, f"shard-{k}.done")

@@ -83,8 +83,8 @@ def test_partial_shard_resume(tmp_path, corpus_dir):
             ingest_pages(rd.read_parquet(shard_files[k])), cfg, batch_size=1024
         )
 
-    # simulate a run killed after shard 0
-    sharded_checkpointed_stage(root, "signatures", [0], sig_shard)
+    # simulate a run killed after shard 0 (of an intended 3)
+    sharded_checkpointed_stage(root, "signatures", [0], sig_shard, total_shards=3)
     assert completed_shards(root, "signatures") == [0]
     mtime0 = os.path.getmtime(os.path.join(root, "signatures", "shard=0"))
 
@@ -101,3 +101,16 @@ def test_partial_shard_resume(tmp_path, corpus_dir):
 
     stages = {m["stage"] for m in MetricsRecorder(root).read_all()}
     assert {"signatures", "edges", "verified", "clusters"} <= stages
+
+
+def test_shard_layout_guard(tmp_path, corpus_dir):
+    """Resume with a different shard count must refuse (layout guard)."""
+    from metacache_mpi_ray.pipelines.checkpointed import run_dedup_checkpointed
+
+    root = str(tmp_path / "ck")
+    cfg = DedupConfig()
+    run_dedup_checkpointed(f"{corpus_dir}/pages", root, cfg, num_shards=3, num_partitions=4)
+    with pytest.raises(ConfigMismatch):
+        run_dedup_checkpointed(
+            f"{corpus_dir}/pages", root, cfg, num_shards=2, num_partitions=4
+        )
