@@ -34,13 +34,14 @@ SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 
 
-def _corpus_dir() -> str:
-    out = f"/tmp/metacache_bench_corpus_n{BENCH_DOCS}_s{CORPUS_SEED}"
+def _corpus_dir(n_docs: int | None = None) -> str:
+    n = n_docs if n_docs is not None else BENCH_DOCS
+    out = f"/tmp/metacache_bench_corpus_n{n}_s{CORPUS_SEED}"
     marker = os.path.join(out, ".complete")
     if not os.path.exists(marker):
         from metacache_mpi_ray.sources.pages import write_pages_corpus
 
-        write_pages_corpus(out, BENCH_DOCS, seed=CORPUS_SEED, n_files=16)
+        write_pages_corpus(out, n, seed=CORPUS_SEED, n_files=16)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -122,7 +123,6 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    global BENCH_DOCS
     # corpus size for the scaling pair (defaults to the bench corpus;
     # a larger one amortizes fixed orchestration but also shifts more
     # time into memory-bound phases, which this VM scales sub-linearly
@@ -139,12 +139,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    _prev = BENCH_DOCS
-    BENCH_DOCS = scale_docs
-    try:
-        _corpus_dir()  # generate + warm once, outside timing
-    finally:
-        BENCH_DOCS = _prev
+    _corpus_dir(scale_docs)  # generate + warm once, outside timing
     lo, hi = SCALE_LO, SCALE_HI
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     # the sandbox VM's effective CPU capacity fluctuates (noisy

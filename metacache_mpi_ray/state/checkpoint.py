@@ -109,9 +109,13 @@ def sharded_checkpointed_stage(
     os.makedirs(stage_dir, exist_ok=True)
     # shard-layout guard: resuming with a different shard count would
     # silently mix incompatible shard assignments (mirrors the config
-    # guard; the reference equivalent is the per-rank DB file count)
+    # guard; the reference equivalent is the per-rank DB file count).
+    # ``shard_ids`` may be a partial list when retrying specific shards;
+    # ``total_shards`` (default: len(shard_ids)) names the intended
+    # full layout the sidecar records.
     layout_path = os.path.join(stage_dir, ".shard_layout")
-    layout = f"{total_shards if total_shards is not None else len(shard_ids)}"
+    n_layout = total_shards if total_shards is not None else len(shard_ids)
+    layout = f"{n_layout}"
     if os.path.exists(layout_path):
         with open(layout_path) as f:
             if f.read().strip() != layout:
@@ -120,6 +124,14 @@ def sharded_checkpointed_stage(
                     f"different shard count; refusing to resume"
                 )
     else:
+        # legacy checkpoint without a sidecar: completed shard markers
+        # outside the claimed layout betray a different prior layout
+        stale = [k for k in completed_shards(root, stage) if k >= n_layout]
+        if stale:
+            raise ConfigMismatch(
+                f"stage {stage!r} at {root} has completed shards {stale} "
+                f"outside the claimed layout of {n_layout}; refusing to mix"
+            )
         with open(layout_path + ".tmp", "w") as f:
             f.write(layout)
         os.replace(layout_path + ".tmp", layout_path)
