@@ -52,3 +52,46 @@ def test_all_identical_docs():
     cl = near_dup_pipeline(_docs(texts), CFG, num_partitions=2).clusters.to_pandas()
     assert cl["cluster_id"].nunique() == 1
     assert cl["is_dup"].all()
+
+
+def test_outputs_writers(tmp_path):
+    import json
+    import os
+
+    from metacache_mpi_ray.pipelines.outputs import (
+        cluster_summary,
+        write_clusters,
+        write_run_report,
+    )
+
+    texts = ["duplicate body here " * 10] * 3 + ["unique doc " + str(i) * 30 for i in range(4)]
+    res = near_dup_pipeline(_docs(texts), CFG, num_partitions=2)
+    out = write_clusters(res.clusters, str(tmp_path / "cl"), only_dups=True)
+    import pyarrow.parquet as pq
+
+    written = pq.read_table(out).to_pandas()
+    assert len(written) == 3 and written["is_dup"].all()
+
+    summ = cluster_summary(res.clusters).to_pandas()
+    assert summ["n_members"].max() == 3
+
+    rep = write_run_report(res.clusters, str(tmp_path / "rep"))
+    assert rep["n_docs"] == 7 and rep["n_dups"] == 3
+    assert rep["size_histogram"][3] == 1
+    assert json.load(open(tmp_path / "rep" / "report.json"))["n_docs"] == 7
+
+
+def test_kperm_scheme_end_to_end():
+    """The classic k-permutation scheme (reference-shaped) must cluster
+    exact and near duplicates just like the OPH default."""
+    from metacache_mpi_ray.config import DedupConfig
+
+    toks = [f"tok{i:03d}" for i in range(300)]
+    base = " ".join(toks)
+    near = " ".join(toks[:150] + ["CHANGED"] + toks[151:])  # 1-token edit
+    texts = [base, base, near, "entirely other content " * 12]
+    cfg = DedupConfig(minhash_scheme="kperm")
+    cl = near_dup_pipeline(_docs(texts), cfg, num_partitions=2).clusters.to_pandas()
+    m = cl.set_index("doc_id")["cluster_id"]
+    assert m[0] == m[1] == m[2]
+    assert m[3] != m[0]
