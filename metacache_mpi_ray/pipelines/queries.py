@@ -479,6 +479,49 @@ def q_merged_dedup_runs(sf_dir: str):
     return merge_cluster_runs(docs, ra.verified_edges, rb.verified_edges)
 
 
+def q_band_bucket_census(sf_dir: str):
+    """Feature-frequency census (A8 analog — the ~230 lines of MPI
+    tree-reduction in the reference, /root/reference/src/mode_build.cpp:
+    847-1074, as one groupby): LSH bucket-size histogram."""
+    from metacache_mpi_ray.stages.banding import compute_bands
+    from metacache_mpi_ray.stages.candidates import bucket_stats
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+
+    docs = read_docs(sf_dir)
+    sigs = compute_signatures(docs, CFG, batch_size=128)
+    stats = bucket_stats(compute_bands(sigs, CFG), ["band_id", "band_hash"])
+    return stats.groupby("bucket_size").aggregate(Count(alias_name="n_buckets"))
+
+
+def q_cluster_lcs(sf_dir: str):
+    """Per-cluster suffix-array longest-common-substring refinement
+    (F6 analog) over the exact-dup groups of the documents table."""
+    from metacache_mpi_ray.stages.substring import cluster_lcs_report
+
+    docs = read_docs(sf_dir)
+    groups = docs.groupby("text_hash").aggregate(Min("doc_id", alias_name="cluster_id"))
+    import ray
+
+    gmap = dict(
+        zip(
+            groups.to_pandas()["text_hash"],
+            groups.to_pandas()["cluster_id"],
+        )
+    )
+    ref = ray.put(gmap)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(ref)
+        th = batch["text_hash"].to_numpy(zero_copy_only=False)
+        cid = pd.Series(th).map(m).to_numpy(dtype=np.int64)
+        return batch.append_column("cluster_id", pa.array(cid, type=pa.int64()))
+
+    withc = docs.map_batches(attach, batch_format="pyarrow")
+    return cluster_lcs_report(withc, min_cluster=2, max_members=8)
+
+
 QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "distinct_docs": q_distinct_docs,
@@ -503,6 +546,8 @@ QUERIES = {
     "abundance_rollup": q_abundance_rollup,
     # non-SQL (rows-only driver check):
     "sample_docs": q_sample_docs,
+    "band_bucket_census": q_band_bucket_census,
+    "cluster_lcs": q_cluster_lcs,
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
     "ivf_topk": q_ivf_topk,
