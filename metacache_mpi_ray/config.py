@@ -66,6 +66,15 @@ class DedupConfig:
             raise ValueError(
                 f"n_perms ({self.n_perms}) must be divisible by n_bands ({self.n_bands})"
             )
+        if self.minhash_scheme == "oph" and (self.n_perms & (self.n_perms - 1)) != 0:
+            # the OPH binner maps shingles to bins with a bit shift
+            # (hashes >> (64 - log2(n_bins))); a non-power-of-two bin
+            # count would leave the top bins natively unreachable and
+            # silently degrade the estimator via densification back-fill
+            raise ValueError(
+                f"minhash_scheme='oph' requires n_perms to be a power of two "
+                f"(got {self.n_perms}); use scheme='kperm' for other sizes"
+            )
 
     @property
     def rows_per_band(self) -> int:

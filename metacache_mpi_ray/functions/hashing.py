@@ -169,13 +169,25 @@ def concat_shingle_hashes(
 # ---------------------------------------------------------------------------
 
 def arrow_string_buffer(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(data_u8, starts, ends) byte ranges per row of an Arrow string col."""
+    """(data_u8, starts, ends) byte ranges per row of an Arrow string col.
+
+    Handles both 32-bit (string/binary) and 64-bit (large_string/
+    large_binary) offset layouts — external parquet written with
+    large_string would otherwise be silently misread as int32 offsets.
+    """
     import pyarrow as pa
+    import pyarrow.types as pt
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pt.is_large_string(col.type) or pt.is_large_binary(col.type):
+        off_dtype = np.int64
+    elif pt.is_string(col.type) or pt.is_binary(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"expected a (large_)string/binary column, got {col.type}")
     n = len(col)
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] is not None else np.empty(0, np.uint8)
     return data, offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
 

@@ -67,10 +67,9 @@ def run_dedup_checkpointed(
     ckpt_root. Safe to kill and re-run: finished shards/stages are
     skipped; a different config refuses to resume."""
     cfg = cfg or DedupConfig()
-    init_checkpoint_root(ckpt_root, cfg)
-    metrics = MetricsRecorder(ckpt_root)
-
     files = _list_input_files(pages_path)
+    init_checkpoint_root(ckpt_root, cfg, input_files=files)
+    metrics = MetricsRecorder(ckpt_root)
     num_shards = min(num_shards, len(files))
     shard_files = {k: files[k::num_shards] for k in range(num_shards)}
 

@@ -30,6 +30,28 @@ def _documents(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _docs_raw_hashed(sf_dir: str):
+    """(doc_id, text_hash) with the hash over the RAW text bytes.
+
+    'Exact dedup' means byte-identical text — matching the oracle's
+    GROUP BY text; the norm-v1 hash read_docs produces is for the
+    sketch pipelines and would silently merge case/whitespace variants.
+    """
+    from metacache_mpi_ray.stages.ingest import _col_hash_i63
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text_hash": pa.array(_col_hash_i63(t["text"], seed=23), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle-checkable queries on the documents / lineitem / events tables
 # ---------------------------------------------------------------------------
@@ -40,7 +62,7 @@ def q_exact_dedup_groups(sf_dir: str):
     Groups by a 64-bit content hash instead of the full text (the
     shuffle moves 8 bytes/row, not the document), then aggregates.
     """
-    docs = read_docs(sf_dir)
+    docs = _docs_raw_hashed(sf_dir)
     out = docs.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="rep_id"), Count(alias_name="dup_count")
     )
@@ -49,14 +71,14 @@ def q_exact_dedup_groups(sf_dir: str):
 
 def q_distinct_docs(sf_dir: str):
     """Count of distinct document texts (exact-dedup cardinality)."""
-    docs = read_docs(sf_dir)
+    docs = _docs_raw_hashed(sf_dir)
     n = docs.groupby("text_hash").aggregate(Count(alias_name="c")).count()
     return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
 
 
 def q_dup_size_histogram(sf_dir: str):
     """Cluster-size histogram (abundance-style output, A4/A5 analog)."""
-    docs = read_docs(sf_dir)
+    docs = _docs_raw_hashed(sf_dir)
     groups = docs.groupby("text_hash").aggregate(Count(alias_name="dup_count"))
     return groups.groupby("dup_count").aggregate(Count(alias_name="n_groups"))
 
@@ -259,20 +281,14 @@ def q_sessionize_events(sf_dir: str):
 
 def q_cluster_members(sf_dir: str):
     """Grouped collect-list (A6 analog: matches-per-target inversion):
-    exact-dup groups with their sorted member list."""
-    docs = read_docs(sf_dir)
+    exact-dup groups with their sorted member list. Sort + vectorized
+    segment kernel (no per-group Python calls)."""
+    from metacache_mpi_ray.stages.windows import collect_members
 
-    import pandas as pd
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        return pd.DataFrame(
-            {"rep_id": [ids[0]], "members": [",".join(map(str, ids))]}
-        )
-
-    return docs.select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
-        per_group, batch_format="pandas"
-    ).select_columns(["rep_id", "members"])
+    docs = _docs_raw_hashed(sf_dir)
+    return collect_members(docs, "text_hash", "doc_id").select_columns(
+        ["rep_id", "members"]
+    )
 
 
 def q_exclude_top_docs(sf_dir: str):

@@ -264,6 +264,8 @@ def embedding_near_dup(
         lref = ray.put((np.empty(0, dtype=np.int64), np.zeros((0, 1))))
 
     def verify(batch: pa.Table) -> pa.Table:
+        from metacache_mpi_ray.stages.verify import lookup_sorted
+
         ids_s, mat = ray.get(lref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
@@ -273,10 +275,12 @@ def embedding_near_dup(
                  "b": pa.array([], type=pa.int64()),
                  "cos_sim": pa.array([], type=pa.float64())}
             )
-        va = mat[np.searchsorted(ids_s, a)]
-        vb = mat[np.searchsorted(ids_s, b)]
+        ia, fa = lookup_sorted(ids_s, a)
+        ib, fb = lookup_sorted(ids_s, b)
+        va = mat[ia]
+        vb = mat[ib]
         sim = (va * vb).sum(axis=1)
-        keep = sim >= sim_threshold
+        keep = (sim >= sim_threshold) & fa & fb
         return pa.table(
             {
                 "a": pa.array(a[keep], type=pa.int64()),

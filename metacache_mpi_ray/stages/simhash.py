@@ -153,6 +153,8 @@ def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int =
     hmax = cfg.simhash_hamming
 
     def verify(batch: pa.Table) -> pa.Table:
+        from metacache_mpi_ray.stages.verify import lookup_sorted
+
         ids_s, sh = ray.get(lref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
@@ -162,10 +164,12 @@ def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int =
                  "b": pa.array([], type=pa.int64()),
                  "hamming": pa.array([], type=pa.int64())}
             )
-        va = sh[np.searchsorted(ids_s, a)]
-        vb = sh[np.searchsorted(ids_s, b)]
+        ia, fa = lookup_sorted(ids_s, a)
+        ib, fb = lookup_sorted(ids_s, b)
+        va = sh[ia]
+        vb = sh[ib]
         d = hamming_distance_u64(va, vb)
-        keep = d <= hmax
+        keep = (d <= hmax) & fa & fb
         return pa.table(
             {
                 "a": pa.array(a[keep], type=pa.int64()),

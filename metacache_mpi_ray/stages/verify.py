@@ -31,6 +31,17 @@ from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.signatures import sig_from_arrow
 
 
+def lookup_sorted(sorted_ids: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, found_mask) of ``ids`` in ``sorted_ids``; positions
+    are clamped so callers can gather safely and must mask by ``found``
+    — verify_edges is a public API and may be handed edges whose
+    endpoints are absent from the signature set."""
+    if len(sorted_ids) == 0:
+        return np.zeros(len(ids), dtype=np.int64), np.zeros(len(ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_ids, ids), len(sorted_ids) - 1)
+    return pos, sorted_ids[pos] == ids
+
+
 def _edge_doc_ids(edges) -> np.ndarray:
     ids: list[np.ndarray] = []
     for b in edges.iter_batches(batch_size=262144, batch_format="pyarrow"):
@@ -102,10 +113,11 @@ def _verify_broadcast(edges, signatures, cfg: DedupConfig):
         ids_s, sigs = ray.get(lookup_ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(ids_s, a)
-        ib = np.searchsorted(ids_s, b)
+        ia, fa = lookup_sorted(ids_s, a)
+        ib, fb = lookup_sorted(ids_s, b)
         est = (sigs[ia] == sigs[ib]).mean(axis=1) if len(a) else np.empty(0)
-        keep = est >= thresh
+        # endpoints without a signature are dropped, not mis-scored
+        keep = (est >= thresh) & fa & fb
         return pa.table(
             {
                 "a": pa.array(a[keep], type=pa.int64()),

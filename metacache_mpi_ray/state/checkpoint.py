@@ -37,23 +37,49 @@ class ConfigMismatch(RuntimeError):
     pass
 
 
-def init_checkpoint_root(root: str, cfg: DedupConfig) -> str:
-    """Create (or validate) a checkpoint root for this config."""
+def _input_manifest(input_files: list[str]) -> str:
+    """Sorted (path, size) list identifying the input corpus of a run."""
+    entries = []
+    for p in sorted(input_files):
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = -1
+        entries.append({"path": p, "size": size})
+    return json.dumps(entries, sort_keys=True)
+
+
+def init_checkpoint_root(
+    root: str, cfg: DedupConfig, input_files: list[str] | None = None
+) -> str:
+    """Create (or validate) a checkpoint root for this config AND input.
+
+    The input manifest (sorted file list + sizes) is bound to the root
+    alongside the config: resuming against a different or modified
+    corpus refuses, mirroring the config guard — silently reusing stage
+    checkpoints computed from other data is the failure mode the
+    reference's DB version check exists to prevent
+    (/root/reference/src/sketch_database.h:869-908)."""
     os.makedirs(root, exist_ok=True)
-    cfg_path = os.path.join(root, "config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            existing = f.read()
-        if existing != cfg.to_json():
-            raise ConfigMismatch(
-                f"checkpoint at {root} was written with a different config; "
-                "refusing to resume (delete the directory or change ckpt root)"
-            )
-    else:
-        tmp = cfg_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(cfg.to_json())
-        os.replace(tmp, cfg_path)
+    guards = [("config.json", cfg.to_json())]
+    if input_files is not None:
+        guards.append(("inputs.json", _input_manifest(input_files)))
+    for fname, payload in guards:
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = f.read()
+            if existing != payload:
+                what = "config" if fname == "config.json" else "input file list"
+                raise ConfigMismatch(
+                    f"checkpoint at {root} was written with a different {what}; "
+                    "refusing to resume (delete the directory or change ckpt root)"
+                )
+        else:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path)
     return root
 
 
