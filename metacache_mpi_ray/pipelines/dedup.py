@@ -38,7 +38,8 @@ def near_dup_pipeline(
     signer_concurrency: int | None = None,
     include_substring: bool = False,
     dedupe_pairs: bool = False,
-    cluster_method: str = "driver",
+    cluster_method: str = "auto",
+    broadcast_edge_limit: int = 2_000_000,
 ) -> DedupResult:
     """Run the full MinHash/LSH dedup over a canonical ``docs`` dataset.
 
@@ -70,11 +71,16 @@ def near_dup_pipeline(
         if dedupe_pairs
         else raw_edges
     )
-    # strategy fixed to broadcast: skips the auto-detection count pass;
-    # the dup subset fits one object at any sandbox scale (the join
-    # fallback remains available via verify_edges(strategy="join"))
+    # auto strategy from the already-materialized edge count (free
+    # metadata — bucket_edges returns a MaterializedDataset): broadcast
+    # the dup-subset signatures while the edge list is small, switch to
+    # the two-hash-join path when the dup subset would outgrow one
+    # object (web-scale dup rates of 30-50% make broadcast a
+    # driver-memory scale-killer)
+    n_edges = edges.count()
+    verify_strategy = "broadcast" if n_edges <= broadcast_edge_limit else "join"
     verified = verify_edges(
-        edges, sigs, cfg, num_partitions=num_partitions, strategy="broadcast"
+        edges, sigs, cfg, num_partitions=num_partitions, strategy=verify_strategy
     ).materialize()
     if include_substring:
         # exact long-match substring edges (suffix/anchor stage, F6
@@ -108,7 +114,12 @@ def near_dup_pipeline(
     # cluster_method: "driver" = DSU over the streamed edge list +
     # broadcast labels (edges are small after verification);
     # "distributed" = min-label propagation + hash join (the scale path
-    # when the dup subset outgrows one process).
+    # when the dup subset outgrows one process); "auto" picks by the
+    # materialized verified-edge count.
+    if cluster_method == "auto":
+        cluster_method = (
+            "driver" if verified.count() <= broadcast_edge_limit else "distributed"
+        )
     if cluster_method == "distributed":
         from metacache_mpi_ray.stages.cluster import assign_clusters_distributed
 

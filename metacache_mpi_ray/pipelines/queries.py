@@ -339,6 +339,53 @@ def q_minhash_clusters(sf_dir: str):
     return near_dup_pipeline(docs, CFG, num_partitions=8).clusters
 
 
+# Offset separating planted copies from original doc_ids in the
+# SQL-reproducible corpora below. Even, so copies share their source's
+# doc_id parity (merged_dedup_runs splits halves by parity).
+PLANT_OFF = 1_000_000_000
+
+
+def _planted_token_corpus(sf_dir: str, plant_mod: int = 5):
+    """Deterministic, SQL-reproducible dedup corpus over the documents
+    table's doc_id universe: text(i) = repeat('tok'||i||' ', 40); every
+    doc with i % plant_mod == 0 gets an exact copy at i + PLANT_OFF.
+
+    Distinct originals share essentially no 16-char shingles (each text
+    is periodic in its own token), so the ONLY duplicate relation is
+    exact text equality — which makes the probabilistic MinHash/LSH
+    pipeline's output hash-checkable against a window-function oracle
+    (real near-dup relations in the raw corpus are not SQL-derivable).
+    """
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        copy_src = ids[ids % plant_mod == 0]
+        all_ids = np.concatenate([ids, copy_src + PLANT_OFF])
+        src = np.concatenate([ids, copy_src])
+        txt = np.char.multiply(
+            np.char.add(np.char.add("tok", src.astype("U")), " "), 40
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(all_ids, type=pa.int64()),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+
+    return ingest_documents(ids_ds.map_batches(build, batch_format="pyarrow"))
+
+
+def q_minhash_clusters_planted(sf_dir: str):
+    """Flagship pipeline over the planted corpus — the full MinHash ->
+    LSH -> verify -> cluster machinery, with a SQL oracle (planted
+    corpus makes text equality the exact duplicate relation)."""
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+
+    docs = _planted_token_corpus(sf_dir)
+    return near_dup_pipeline(docs, CFG, num_partitions=8).clusters
+
+
 def q_minhash_signatures(sf_dir: str):
     from metacache_mpi_ray.stages.signatures import compute_signatures
 
@@ -391,10 +438,34 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table plus
+    planted exact-copy vectors (vec_id + PLANT_OFF for vec_id % 5 == 0)
+    — non-vacuous at every sf, and oracle-checked by a DuckDB cosine
+    cross-join (the raw table has no pairs >= 0.95, so the output is
+    exactly the planted pairs)."""
     from metacache_mpi_ray.stages.ann import embedding_near_dup
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dup(emb, sim_threshold=0.95, num_partitions=8)
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sel = np.flatnonzero(ids % 5 == 0)
+        copies = col.take(pa.array(sel))
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids[sel] + PLANT_OFF]), type=pa.int64()
+                ),
+                "embedding": pa.concat_arrays([col, copies]),
+            }
+        )
+
+    planted = emb.map_batches(plant, batch_format="pyarrow")
+    out = embedding_near_dup(planted, sim_threshold=0.95, num_partitions=8)
+    return out.select_columns(["a", "b"])
 
 
 def q_abundance_rollup(sf_dir: str):
@@ -474,12 +545,17 @@ def q_ivf_topk(sf_dir: str):
 
 
 def q_merged_dedup_runs(sf_dir: str):
-    """Merge-mode (D5 analog): dedup two halves of the corpus
-    independently, union their verified edge sets, re-cluster."""
+    """Merge-mode (D5 analog): dedup two doc_id-parity halves of the
+    planted corpus independently, union their verified edge sets,
+    re-cluster — no full-corpus materialize: each half re-executes the
+    (cheap, column-pruned) corpus lineage with a pushed filter, the way
+    a real run would read its own input slice. PLANT_OFF is even, so
+    every planted pair lives inside one half and the merged result must
+    equal whole-corpus dedup (the SQL oracle)."""
     from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
     from metacache_mpi_ray.pipelines.merge import merge_cluster_runs
 
-    docs = read_docs(sf_dir).materialize()
+    docs = _planted_token_corpus(sf_dir)
 
     def half(parity: int):
         return docs.map_batches(
@@ -489,9 +565,8 @@ def q_merged_dedup_runs(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    half_a, half_b = half(0), half(1)
-    ra = near_dup_pipeline(half_a, CFG, num_partitions=4)
-    rb = near_dup_pipeline(half_b, CFG, num_partitions=4)
+    ra = near_dup_pipeline(half(0), CFG, num_partitions=4)
+    rb = near_dup_pipeline(half(1), CFG, num_partitions=4)
     return merge_cluster_runs(docs, ra.verified_edges, rb.verified_edges)
 
 
@@ -510,29 +585,54 @@ def q_band_bucket_census(sf_dir: str):
 
 
 def q_cluster_lcs(sf_dir: str):
-    """Per-cluster suffix-array longest-common-substring refinement
-    (F6 analog) over the exact-dup groups of the documents table."""
+    """Per-cluster longest-common-substring refinement (F6 analog) over
+    planted half-prefix copies: every doc with doc_id % 4 == 0 gets a
+    copy holding the first half of its normalized text, so each planted
+    cluster's LCS(rep, member) is exactly the (rtrimmed) half length —
+    SQL-derivable, non-vacuous at every sf. Cluster ids come from
+    doc_id arithmetic (single streaming pass; the round-1 version built
+    a driver-side dict over the whole corpus)."""
+    from metacache_mpi_ray.functions.hashing import arrow_string_buffer
+    from metacache_mpi_ray.functions.text import normalize_text_arrow
     from metacache_mpi_ray.stages.substring import cluster_lcs_report
 
-    docs = read_docs(sf_dir)
-    groups = docs.groupby("text_hash").aggregate(Min("doc_id", alias_name="cluster_id"))
-    import ray
+    docs0 = _documents(sf_dir, columns=["doc_id", "text"])
 
-    gmap = dict(
-        zip(
-            groups.to_pandas()["text_hash"],
-            groups.to_pandas()["cluster_id"],
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        norm = normalize_text_arrow(t["text"])
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        data, starts, ends = arrow_string_buffer(norm)
+        sel = np.flatnonzero(ids % 4 == 0)
+        if len(sel) == 0:
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": norm})
+        # half-prefix copies, gathered zero-copy from the Arrow buffer
+        lens2 = (ends[sel] - starts[sel]) // 2
+        total = int(lens2.sum())
+        seg0 = np.concatenate([[0], np.cumsum(lens2)[:-1]]).astype(np.int64)
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens2)
+        half_data = data[np.repeat(starts[sel], lens2) + within]
+        offs = np.concatenate([[0], np.cumsum(lens2)]).astype(np.int32)
+        half_col = pa.Array.from_buffers(
+            pa.string(), len(sel),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(half_data.tobytes())],
         )
-    )
-    ref = ray.put(gmap)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, ids[sel] + PLANT_OFF]), type=pa.int64()
+                ),
+                "text": pa.concat_arrays([norm, half_col]),
+            }
+        )
 
-    def attach(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    docs = ingest_documents(docs0.map_batches(build, batch_format="pyarrow"))
 
-        m = ray.get(ref)
-        th = batch["text_hash"].to_numpy(zero_copy_only=False)
-        cid = pd.Series(th).map(m).to_numpy(dtype=np.int64)
-        return batch.append_column("cluster_id", pa.array(cid, type=pa.int64()))
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cid = np.where(ids >= PLANT_OFF, ids - PLANT_OFF, ids)
+        return t.append_column("cluster_id", pa.array(cid, type=pa.int64()))
 
     withc = docs.map_batches(attach, batch_format="pyarrow")
     return cluster_lcs_report(withc, min_cluster=2, max_members=8)
@@ -569,6 +669,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "merged_dedup_runs": q_merged_dedup_runs,
     "minhash_clusters": q_minhash_clusters,
+    "minhash_clusters_planted": q_minhash_clusters_planted,
     "minhash_signatures": q_minhash_signatures,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "lang_id": q_lang_id,
@@ -681,6 +782,43 @@ ORACLE_SQL = {
         "SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source "
         "UNION ALL "
         "SELECT lang, NULL AS source, count(*) AS n_docs FROM documents GROUP BY lang"
+    ),
+    # planted-corpus window oracle: text equality is the exact duplicate
+    # relation of the planted corpus (see _planted_token_corpus)
+    "minhash_clusters_planted": (
+        "WITH corpus AS ("
+        "  SELECT doc_id, doc_id AS src FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000000 AS doc_id, doc_id AS src"
+        "  FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
+        "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    "merged_dedup_runs": (
+        "WITH corpus AS ("
+        "  SELECT doc_id, doc_id AS src FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000000 AS doc_id, doc_id AS src"
+        "  FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
+        "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    "embedding_near_dup": (
+        "WITH corpus AS ("
+        "  SELECT vec_id, embedding FROM embeddings"
+        "  UNION ALL"
+        "  SELECT vec_id + 1000000000 AS vec_id, embedding"
+        "  FROM embeddings WHERE vec_id % 5 = 0) "
+        "SELECT x.vec_id AS a, y.vec_id AS b "
+        "FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id "
+        "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95"
+    ),
+    "cluster_lcs": (
+        "WITH n AS (SELECT doc_id, "
+        "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt "
+        "  FROM documents WHERE doc_id % 4 = 0) "
+        "SELECT doc_id AS cluster_id, doc_id + 1000000000 AS doc_id, "
+        "length(rtrim(substr(nt, 1, length(nt)//2))) AS lcs_with_rep FROM n"
     ),
     "ann_topk": (
         "SELECT query_id, neighbor_id, rank FROM ("

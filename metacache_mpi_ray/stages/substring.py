@@ -187,6 +187,33 @@ def longest_common_substring_len(a: bytes, b: bytes) -> int:
     return best
 
 
+def lcs_len_hashed(a: bytes, b: bytes, seed: int = 0) -> int:
+    """Length of the longest exact common substring via binary search on
+    the match length with vectorized rolling-hash window sets:
+    a common substring of length L exists iff the L-gram hash sets of a
+    and b intersect (monotone in L), so O((n+m) log min(n,m)) numpy
+    passes replace the per-suffix Python loops of the suffix-array path.
+    64-bit fmix hashes; collision probability ~ (n*m)/2^64 per probe —
+    the same risk class as the engine's feature hashes.
+    """
+    from metacache_mpi_ray.functions.hashing import rolling_shingle_hashes
+
+    if not a or not b:
+        return 0
+    ua = np.frombuffer(a, dtype=np.uint8)
+    ub = np.frombuffer(b, dtype=np.uint8)
+    lo, hi = 0, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        ha = rolling_shingle_hashes(ua, mid, seed)
+        hb = rolling_shingle_hashes(ub, mid, seed)
+        if np.intersect1d(ha, hb).size:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def cluster_lcs_report(docs_with_clusters, *, min_cluster: int = 2, max_members: int = 16):
     """groupby(cluster_id).map_groups: longest common substring between
     the cluster representative and each member — per-cluster exact
@@ -202,7 +229,7 @@ def cluster_lcs_report(docs_with_clusters, *, min_cluster: int = 2, max_members:
         rep_text = rep["norm_text"].encode("utf-8")
         rows = []
         for _, r in g.iloc[1:].iterrows():
-            l = longest_common_substring_len(rep_text, r["norm_text"].encode("utf-8"))
+            l = lcs_len_hashed(rep_text, r["norm_text"].encode("utf-8"))
             rows.append((int(rep["cluster_id"]), int(r["doc_id"]), l))
         return pd.DataFrame(rows, columns=["cluster_id", "doc_id", "lcs_with_rep"])
 
