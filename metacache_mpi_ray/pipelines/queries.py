@@ -376,6 +376,63 @@ def _planted_token_corpus(sf_dir: str, plant_mod: int = 5):
     return ingest_documents(ids_ds.map_batches(build, batch_format="pyarrow"))
 
 
+def q_query_vs_index(sf_dir: str):
+    """Incremental dedup (the reference's query mode,
+    /root/reference/src/mode_query.cpp:404-455): build a persisted
+    signature/cluster index over corpus A once, then stream a new batch
+    B against it. A = the planted token corpus originals; B = exact
+    copies of every third doc (must match, resolving to its A cluster)
+    plus fresh 'xq'-token docs (must not match)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from metacache_mpi_ray.pipelines.incremental import (
+        build_index,
+        query_against_index,
+    )
+
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build_a(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.char.multiply(
+            np.char.add(np.char.add("tok", ids.astype("U")), " "), 40
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(txt, type=pa.string())}
+        )
+
+    def build_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cp = ids[ids % 3 == 0]   # exact copies of stored texts
+        fr = ids[ids % 3 == 1]   # fresh texts sharing no shingles
+        txt_cp = np.char.multiply(
+            np.char.add(np.char.add("tok", cp.astype("U")), " "), 40
+        )
+        txt_fr = np.char.multiply(
+            np.char.add(np.char.add("xq", fr.astype("U")), " "), 40
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([cp, fr]) + PLANT_OFF, type=pa.int64()
+                ),
+                "text": pa.array(np.concatenate([txt_cp, txt_fr]), type=pa.string()),
+            }
+        )
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    key = hashlib.sha1(
+        f"{sf_dir}|{n_rows}|{CFG.to_json()}|qidx-v1".encode()
+    ).hexdigest()[:12]
+    root = f"/tmp/metacache_qidx_{key}"
+    a_docs = ingest_documents(ids_ds.map_batches(build_a, batch_format="pyarrow"))
+    build_index(a_docs, CFG, root, num_partitions=8)
+    b_docs = ingest_documents(ids_ds.map_batches(build_b, batch_format="pyarrow"))
+    return query_against_index(b_docs, root, CFG, num_partitions=8)
+
+
 def q_minhash_clusters_planted(sf_dir: str):
     """Flagship pipeline over the planted corpus — the full MinHash ->
     LSH -> verify -> cluster machinery, with a SQL oracle (planted
@@ -670,6 +727,7 @@ QUERIES = {
     "merged_dedup_runs": q_merged_dedup_runs,
     "minhash_clusters": q_minhash_clusters,
     "minhash_clusters_planted": q_minhash_clusters_planted,
+    "query_vs_index": q_query_vs_index,
     "minhash_signatures": q_minhash_signatures,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "lang_id": q_lang_id,
@@ -802,6 +860,12 @@ ORACLE_SQL = {
         "  FROM documents WHERE doc_id % 5 = 0) "
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
         "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    "query_vs_index": (
+        "SELECT doc_id + 1000000000 AS doc_id, "
+        "doc_id % 3 = 0 AS matched, "
+        "CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE -1 END AS matched_cluster_id "
+        "FROM documents WHERE doc_id % 3 < 2"
     ),
     "embedding_near_dup": (
         "WITH corpus AS ("

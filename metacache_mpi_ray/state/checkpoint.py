@@ -87,12 +87,40 @@ def stage_done(root: str, stage: str) -> bool:
     return os.path.exists(os.path.join(root, f"{stage}.done"))
 
 
+def _write_parquet_stage(ds, tmp: str, empty_schema=None) -> None:
+    """write_parquet that survives EMPTY datasets: Ray writes no files
+    (not even the directory) for 0 rows, which would break the atomic
+    rename and the later read — persist an explicit empty file with the
+    dataset's schema (or the caller-supplied ``empty_schema`` pyarrow
+    schema when even Ray's schema is unknown) instead."""
+    ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = ds.schema()
+        if sch is not None:
+            empty = pa.table(
+                {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+            )
+        elif empty_schema is not None:
+            empty = empty_schema.empty_table()
+        else:
+            raise ValueError(
+                f"stage produced 0 rows and no schema; pass empty_schema "
+                f"to checkpoint it ({tmp})"
+            )
+        pq.write_table(empty, os.path.join(tmp, "empty-0.parquet"))
+
+
 def checkpointed_stage(
     root: str,
     stage: str,
     compute,  # () -> ray.data.Dataset
     *,
     read_columns: list[str] | None = None,
+    empty_schema=None,
 ) -> "ray.data.Dataset":
     """Run ``compute()`` and persist its output under <root>/<stage>/,
     or read the existing checkpoint if the stage already completed.
@@ -109,7 +137,7 @@ def checkpointed_stage(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ds = compute()
-    ds.write_parquet(tmp)
+    _write_parquet_stage(ds, tmp, empty_schema)
     if os.path.exists(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
@@ -170,7 +198,7 @@ def sharded_checkpointed_stage(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         ds = compute_shard(k)
-        ds.write_parquet(tmp)
+        _write_parquet_stage(ds, tmp)
         if os.path.exists(sdir):
             shutil.rmtree(sdir)
         os.replace(tmp, sdir)

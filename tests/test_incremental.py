@@ -1,0 +1,194 @@
+"""Incremental query-against-persisted-index mode (the reference's
+build-once/query-many shape, mode_query.cpp:404-455)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.pipelines.incremental import (
+    build_index,
+    query_against_index,
+)
+from metacache_mpi_ray.stages.ingest import ingest_documents, ingest_pages
+from metacache_mpi_ray.state.checkpoint import ConfigMismatch
+
+
+@pytest.fixture(scope="module")
+def index_root(tmp_path_factory, corpus_dir):
+    cfg = DedupConfig()
+    root = str(tmp_path_factory.mktemp("qidx") / "root")
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages"))
+    clusters = build_index(docs, cfg, root, num_partitions=4)
+    return root, clusters.to_pandas(), corpus_dir
+
+
+def test_query_matches_copies_and_rejects_fresh(index_root):
+    root, idx_clusters, corpus_dir = index_root
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    # B = exact copies of 20 stored pages (new ids) + 20 fresh docs made
+    # of an alien alphabet (shares no shingles with the corpus)
+    copies = pages.head(20)
+    b_tab = pa.table(
+        {
+            "doc_id": pa.array(
+                list(range(10_000_000, 10_000_020))
+                + list(range(20_000_000, 20_000_020)),
+                type=pa.int64(),
+            ),
+            "text": pa.array(
+                [
+                    t if t is not None else ""
+                    for t in copies["text"].where(
+                        copies["text"].notna(), copies["html"].astype(str)
+                    )
+                ][:20]
+                + [f"zzqx{i} " * 60 for i in range(20)],
+                type=pa.string(),
+            ),
+        }
+    )
+    # resolve copies' text the same way ingest does (html fallback rows
+    # carry the raw html string here; they just need to MATCH the index
+    # only when the extracted text matches — so use only non-null rows)
+    non_null = copies["text"].notna().to_numpy()
+    b_docs = ingest_documents(rd.from_arrow(b_tab))
+    out = query_against_index(b_docs, root, num_partitions=4).to_pandas()
+    out = out.set_index("doc_id")
+    # fresh docs never match
+    for i in range(20_000_000, 20_000_020):
+        assert not out.loc[i, "matched"]
+        assert out.loc[i, "matched_cluster_id"] == -1
+    # exact copies of resolved-text pages always match
+    hits = [
+        10_000_000 + j for j in range(20) if non_null[j]
+    ]
+    assert len(hits) >= 10
+    for i in hits:
+        assert out.loc[i, "matched"]
+        assert out.loc[i, "matched_cluster_id"] >= 0
+
+
+def test_matched_cluster_resolves_to_index_cluster(index_root):
+    """A copy of a stored page must resolve to that page's own cluster
+    in the persisted clusters artifact."""
+    root, idx_clusters, corpus_dir = index_root
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    row = pages[pages["text"].notna()].iloc[0]
+    b_docs = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([77_000_001], type=pa.int64()),
+                    "text": pa.array([row["text"]], type=pa.string()),
+                }
+            )
+        )
+    )
+    out = query_against_index(b_docs, root, num_partitions=4).to_pandas()
+    assert bool(out["matched"].iloc[0])
+    # the stored doc's id = hash(url); find its cluster via the url hash
+    from metacache_mpi_ray.stages.ingest import _col_hash_i63
+
+    stored_id = int(_col_hash_i63(pa.array([row["url"]]), seed=11)[0])
+    stored_cluster = int(
+        idx_clusters.set_index("doc_id").loc[stored_id, "cluster_id"]
+    )
+    assert int(out["matched_cluster_id"].iloc[0]) == stored_cluster
+
+
+def test_query_refuses_config_mismatch(index_root):
+    root, _, _ = index_root
+    other = DedupConfig(sim_threshold=0.9)
+    b_docs = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1], type=pa.int64()),
+                 "text": pa.array(["hello world"], type=pa.string())}
+            )
+        )
+    )
+    with pytest.raises(ConfigMismatch):
+        query_against_index(b_docs, root, other)
+
+
+def test_build_index_resumes_from_checkpoint(index_root, corpus_dir):
+    """Re-running build_index over the same root reuses every stage
+    (all .done markers present -> no stage recompute)."""
+    import os
+    import time
+
+    root, idx_clusters, _ = index_root
+    for stage in ("signatures", "edges", "verified", "clusters"):
+        assert os.path.exists(os.path.join(root, f"{stage}.done"))
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages"))
+    t0 = time.time()
+    again = build_index(docs, DedupConfig(), root, num_partitions=4).to_pandas()
+    resumed_in = time.time() - t0
+    a = again.sort_values("doc_id").reset_index(drop=True)
+    b = idx_clusters.sort_values("doc_id").reset_index(drop=True)
+    assert (a["cluster_id"].values == b["cluster_id"].values).all()
+    assert resumed_in < 30  # pure read-back, no recompute
+
+
+def test_incremental_agrees_with_full_recompute(tmp_path, corpus_dir):
+    """dedup(A) + query(B vs A) must agree with dedup(A ∪ B) on which B
+    docs are duplicates of A — the oracle recomputation check."""
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+
+    cfg = DedupConfig()
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    pages = pages[pages["text"].notna()].reset_index(drop=True)
+    n = len(pages)
+    a_df = pages.iloc[: n // 2]
+    a_tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(a_df)), type=pa.int64()),
+            "text": pa.array(a_df["text"].tolist(), type=pa.string()),
+        }
+    )
+    # B: copies of 15 A docs + 15 fresh alien docs
+    b_texts = a_df["text"].head(15).tolist() + [f"qj{i}w " * 80 for i in range(15)]
+    b_tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(b_texts)) + 1_000_000, type=pa.int64()),
+            "text": pa.array(b_texts, type=pa.string()),
+        }
+    )
+    root = str(tmp_path / "idx")
+    a_docs = ingest_documents(rd.from_arrow(a_tab))
+    build_index(a_docs, cfg, root, num_partitions=4)
+    b_docs = ingest_documents(rd.from_arrow(b_tab))
+    got = (
+        query_against_index(b_docs, root, num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")["matched"]
+    )
+
+    # full recompute over A ∪ B
+    both = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [a_tab["doc_id"].combine_chunks(), b_tab["doc_id"].combine_chunks()]
+                    ),
+                    "text": pa.concat_arrays(
+                        [a_tab["text"].combine_chunks(), b_tab["text"].combine_chunks()]
+                    ),
+                }
+            )
+        )
+    )
+    full = near_dup_pipeline(both, cfg, num_partitions=4).clusters.to_pandas()
+    full = full.set_index("doc_id")
+    a_ids = set(a_tab["doc_id"].to_pylist())
+    cluster_members: dict[int, list[int]] = {}
+    for d, c in full["cluster_id"].items():
+        cluster_members.setdefault(int(c), []).append(int(d))
+    for bid in b_tab["doc_id"].to_pylist():
+        c = int(full.loc[bid, "cluster_id"])
+        has_a_partner = any(m in a_ids for m in cluster_members[c] if m != bid)
+        assert bool(got.loc[bid]) == has_a_partner, bid
