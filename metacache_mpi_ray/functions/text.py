@@ -44,6 +44,29 @@ def extract_text_from_html(html: bytes) -> str:
     return b.decode("utf-8", errors="replace")
 
 
+def extract_text_html_arrow(col: pa.Array | pa.ChunkedArray):
+    """Vectorized HTML -> text over an Arrow STRING column: the same
+    deterministic pipeline as extract_text_from_html (strip script/
+    style/comments/tags, decode common entities, collapse whitespace)
+    as a chain of RE2 kernels — zero Python per row. Inline (?is) flags
+    keep the patterns host-independent, so the identical chain is
+    DuckDB-expressible for oracles. RE2 has no backreferences, hence
+    separate script/style passes instead of <(script|style)>...</\\1>.
+    """
+    s = pc.replace_substring_regex(
+        col, pattern=r"(?is)<script\b[^>]*>.*?</script\s*>", replacement=" "
+    )
+    s = pc.replace_substring_regex(
+        s, pattern=r"(?is)<style\b[^>]*>.*?</style\s*>", replacement=" "
+    )
+    s = pc.replace_substring_regex(s, pattern=r"(?s)<!--.*?-->", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"<[^>]+>", replacement=" ")
+    for ent, rep in _ENTITIES.items():
+        s = pc.replace_substring(s, pattern=ent.decode(), replacement=rep.decode())
+    s = pc.replace_substring_regex(s, pattern=r"[ \t\r\n\f\v]+", replacement=" ")
+    return pc.utf8_trim(s, characters=" \t\r\n\f\v")
+
+
 def normalize_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """norm-v1: utf8 lowercase + whitespace collapse + trim, vectorized
     in Arrow kernels (zero Python per row)."""
@@ -59,17 +82,30 @@ def normalize_text_py(s: str) -> str:
 
 
 def resolve_text_batch(batch: pa.Table) -> pa.Table:
-    """Fill null ``text`` from ``html`` via extract_text_from_html, then
-    append norm-v1 ``norm_text``. Arrow in / Arrow out."""
+    """Fill null ``text`` from ``html`` via the vectorized Arrow HTML
+    extractor (per-row Python only as a fallback for html bytes that are
+    not valid UTF-8), then append norm-v1 ``norm_text``."""
     text = batch["text"]
     if text.null_count > 0 and "html" in batch.column_names:
-        tvals = text.to_pylist()
-        hvals = batch["html"].to_pylist()
-        tvals = [
-            t if t is not None else extract_text_from_html(h)
-            for t, h in zip(tvals, hvals)
-        ]
-        text = pa.array(tvals, type=pa.string())
+        html = batch["html"]
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        try:
+            extracted = extract_text_html_arrow(html.cast(pa.string()))
+            text = pc.if_else(pc.is_valid(text), text, extracted)
+        except pa.ArrowInvalid:
+            # html not valid utf-8 -> per-row decode fallback
+            tvals = text.to_pylist()
+            hvals = html.to_pylist()
+            text = pa.array(
+                [
+                    t if t is not None else extract_text_from_html(h)
+                    for t, h in zip(tvals, hvals)
+                ],
+                type=pa.string(),
+            )
         batch = batch.set_column(batch.schema.get_field_index("text"), "text", text)
     norm = normalize_text_arrow(batch["text"])
     if isinstance(norm, pa.ChunkedArray):

@@ -551,6 +551,174 @@ def q_abundance_rollup(sf_dir: str):
     return leaf.union(lang_tot)
 
 
+def q_abundance_redistribute(sf_dir: str):
+    """Abundance estimation with proportional redistribution (full A5
+    analog, /root/reference/src/classification.cpp:362-428): docs with
+    doc_id % 10 == 0 are 'classified at the lang level only'; their
+    counts redistribute down to (lang, source) leaves proportional to
+    direct leaf counts. Exact integer output (est_num/denom) so the
+    oracle hash-matches without float formatting concerns."""
+    from metacache_mpi_ray.stages.taxonomy import redistribute_counts
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang", "source"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "at_leaf": pa.array((ids % 10 != 0).astype(np.int64)),
+            }
+        )
+
+    marked = ds.map_batches(mark, batch_format="pyarrow")
+    return redistribute_counts(marked, ["lang", "source"])
+
+
+def q_ranked_lca(sf_dir: str):
+    """Ranked-LCA classification (A3 analog, classification.cpp:235-265):
+    each doc's candidate set = the docs with ids in [d, d+2]; the vote
+    returns the deepest lineage rank (lang -> source) on which all
+    candidates agree — one distributed groupby with Min/Max aggregates."""
+    from metacache_mpi_ray.stages.taxonomy import ranked_lca_classify
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang", "source"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        anchors = np.concatenate([ids, ids - 1, ids - 2])
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table(
+            {
+                "anchor": pa.array(anchors, type=pa.int64()),
+                "lang": pa.concat_arrays([lang] * 3),
+                "source": pa.concat_arrays([src] * 3),
+                "is_self": pa.array(
+                    np.concatenate(
+                        [np.ones(n, dtype=np.int64), np.zeros(2 * n, dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    cand = ds.map_batches(expand, batch_format="pyarrow")
+    out = ranked_lca_classify(cand, "anchor", ["lang", "source"])
+    return out.rename_columns({"anchor": "doc_id"})
+
+
+def q_dedup_eval(sf_dir: str):
+    """Pair-counting clustering evaluation (A7 analog,
+    classification_statistics.h:40-241): precision/recall pair counts of
+    a deliberately imperfect clustering (group by n_chars) against a
+    reference partition (group by lang, source) — never materializes
+    pairs, just three grouped size-sums."""
+    from metacache_mpi_ray.stages.taxonomy import pair_eval
+
+    ds = _documents(sf_dir, columns=["n_chars", "lang", "source"])
+    out = pair_eval(ds, ["n_chars"], ["lang", "source"])
+    return out.select(["tp", "fp", "fn"])
+
+
+def q_dedup_eval_planted(sf_dir: str):
+    """End-to-end dedup quality eval: flagship pipeline clusters on the
+    planted corpus scored against planted truth via pair_eval — the
+    pipeline must find exactly the planted pairs (tp = planted count,
+    fp = fn = 0)."""
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+    from metacache_mpi_ray.stages.taxonomy import pair_eval
+
+    docs = _planted_token_corpus(sf_dir)
+    clusters = near_dup_pipeline(docs, CFG, num_partitions=8).clusters
+
+    def add_truth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.where(ids >= PLANT_OFF, ids - PLANT_OFF, ids)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "true_src": pa.array(src, type=pa.int64()),
+            }
+        )
+
+    both = clusters.map_batches(add_truth, batch_format="pyarrow")
+    return pair_eval(both, ["cluster_id"], ["true_src"]).select(["tp", "fp", "fn"])
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (M6 analog of the reference's accession
+    extraction): scheme/host lowercasing, default-port stripping,
+    tracking-param and fragment removal — the key-normalization step
+    before doc_id = hash(url). Inputs are deterministic URL variants
+    built from doc_id (the documents table has no url column)."""
+    from metacache_mpi_ray.functions.urls import canonicalize_url_arrow
+
+    ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = (ids % 7).astype("U")
+        i = ids.astype("U")
+        url = np.char.add(
+            np.char.add(
+                np.char.add(
+                    np.char.add(np.char.add("HTTPS://Site", k), ".Example.COM:443/Path/"),
+                    i,
+                ),
+                np.char.add("?utm_source=feed&id=", i),
+            ),
+            "&utm_campaign=x#frag",
+        )
+        canon = canonicalize_url_arrow(pa.array(url, type=pa.string()))
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "url_canonical": canon}
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_html_extract(sf_dir: str):
+    """Vectorized HTML -> text extraction (S1 raw-ingest analog): wrap
+    each document text in a deterministic HTML shell (script + style +
+    comment + entities), extract with the Arrow RE2 kernel chain, and
+    oracle-check against the identical DuckDB regexp chain."""
+    from metacache_mpi_ray.functions.text import extract_text_html_arrow
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        html = pc.binary_join_element_wise(
+            pa.scalar(
+                '<html><head><title>T</title>'
+                '<script type="text/javascript">var x = 1 < 2;</script>'
+                "</head><body><p>"
+            ),
+            text,
+            pa.scalar(
+                "</p><!-- trailing comment -->"
+                "<style>p { color: red; }</style></body></html>"
+            ),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text_extracted": extract_text_html_arrow(html),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded Bernoulli sample (absent in the reference — SURVEY §2.6;
     deterministic given the seed, so checked rows-only)."""
@@ -717,6 +885,12 @@ QUERIES = {
     "exclude_top_docs": q_exclude_top_docs,
     "orders_asof_step": q_orders_asof_step,
     "abundance_rollup": q_abundance_rollup,
+    "abundance_redistribute": q_abundance_redistribute,
+    "url_canonical": q_url_canonical,
+    "html_extract": q_html_extract,
+    "ranked_lca": q_ranked_lca,
+    "dedup_eval": q_dedup_eval,
+    "dedup_eval_planted": q_dedup_eval_planted,
     # non-SQL (rows-only driver check):
     "sample_docs": q_sample_docs,
     "band_bucket_census": q_band_bucket_census,
@@ -738,6 +912,48 @@ QUERIES = {
 
 
 _STOP_RE_SQL = r"\b(the|and|of|a|to|in|is|it|that|for)\b"
+
+
+def _url_canonical_oracle() -> str:
+    from metacache_mpi_ray.functions.urls import duckdb_canonical_expr
+
+    src = (
+        "'HTTPS://Site' || (doc_id % 7) || '.Example.COM:443/Path/' || doc_id "
+        "|| '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#frag'"
+    )
+    return (
+        f"SELECT doc_id, {duckdb_canonical_expr(src)} AS url_canonical FROM documents"
+    )
+
+
+def _html_extract_oracle() -> str:
+    # mirrors functions/text.extract_text_html_arrow step by step
+    # (script, style, comments, tags, entities in dict order, ws, trim)
+    html = (
+        "'<html><head><title>T</title>"
+        "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+        "</head><body><p>' || text || '</p><!-- trailing comment -->"
+        "<style>p { color: red; }</style></body></html>'"
+    )
+    s = html
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script\s*>",
+        r"(?is)<style\b[^>]*>.*?</style\s*>",
+        r"(?s)<!--.*?-->",
+        r"<[^>]+>",
+    ):
+        # DuckDB string literals don't treat backslash as an escape, so
+        # the RE2 pattern goes in verbatim
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&apos;", "''"), ("&nbsp;", " "),
+    ):
+        s = f"replace({s}, '{ent}', '{rep}')"
+    s = f"regexp_replace({s}, '[ \t\r\n\f\v]+', ' ', 'g')"
+    s = f"trim({s}, ' \t\r\n\f\v')"
+    return f"SELECT doc_id, {s} AS text_extracted FROM documents"
+
 
 ORACLE_SQL = {
     "exact_dedup_groups": (
@@ -860,6 +1076,45 @@ ORACLE_SQL = {
         "  FROM documents WHERE doc_id % 5 = 0) "
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
         "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    "url_canonical": _url_canonical_oracle(),
+    "html_extract": _html_extract_oracle(),
+    "abundance_redistribute": (
+        "WITH fine AS (SELECT lang, source, count(*) AS c FROM documents "
+        "  WHERE doc_id % 10 <> 0 GROUP BY lang, source), "
+        "coarse AS (SELECT lang, count(*) AS cc FROM documents "
+        "  WHERE doc_id % 10 = 0 GROUP BY lang), "
+        "tot AS (SELECT lang, sum(c) AS t FROM fine GROUP BY lang) "
+        "SELECT f.lang, f.source, CAST(f.c AS BIGINT) AS n_direct, "
+        "CAST(f.c * (t.t + COALESCE(co.cc, 0)) AS BIGINT) AS est_num, "
+        "CAST(t.t AS BIGINT) AS denom "
+        "FROM fine f JOIN tot t USING (lang) LEFT JOIN coarse co USING (lang)"
+    ),
+    "ranked_lca": (
+        "WITH cand AS ("
+        "  SELECT d.doc_id AS doc_id, e.lang AS lang, e.source AS source"
+        "  FROM documents d JOIN documents e"
+        "    ON e.doc_id BETWEEN d.doc_id AND d.doc_id + 2) "
+        "SELECT doc_id, "
+        "CASE WHEN count(DISTINCT lang || '/' || source) = 1 THEN 'source' "
+        "     WHEN count(DISTINCT lang) = 1 THEN 'lang' "
+        "     ELSE 'root' END AS lca_rank, "
+        "CASE WHEN count(DISTINCT lang || '/' || source) = 1 THEN min(source) "
+        "     WHEN count(DISTINCT lang) = 1 THEN min(lang) "
+        "     ELSE 'root' END AS lca_node "
+        "FROM cand GROUP BY doc_id"
+    ),
+    "dedup_eval": (
+        "WITH p AS (SELECT count(*) AS m FROM documents GROUP BY n_chars), "
+        "t AS (SELECT count(*) AS m FROM documents GROUP BY lang, source), "
+        "j AS (SELECT count(*) AS m FROM documents GROUP BY n_chars, lang, source) "
+        "SELECT CAST((SELECT sum(m*(m-1)/2) FROM j) AS BIGINT) AS tp, "
+        "CAST((SELECT sum(m*(m-1)/2) FROM p) - (SELECT sum(m*(m-1)/2) FROM j) AS BIGINT) AS fp, "
+        "CAST((SELECT sum(m*(m-1)/2) FROM t) - (SELECT sum(m*(m-1)/2) FROM j) AS BIGINT) AS fn"
+    ),
+    "dedup_eval_planted": (
+        "SELECT CAST(count(*) AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp, "
+        "CAST(0 AS BIGINT) AS fn FROM documents WHERE doc_id % 5 = 0"
     ),
     "query_vs_index": (
         "SELECT doc_id + 1000000000 AS doc_id, "

@@ -40,13 +40,22 @@ def _col_hash_i63(col, seed: int) -> np.ndarray:
     return _to_i63(doc_hashes_from_buffer(data, starts, ends, seed))
 
 
-def _ingest_pages_batch(batch: pa.Table) -> pa.Table:
+def _ingest_pages_batch(batch: pa.Table, canonicalize_urls: bool = False) -> pa.Table:
     batch = resolve_text_batch(batch)
     norm = batch["norm_text"]
+    url = batch["url"]
+    if canonicalize_urls:
+        # URL variants of the same page collapse to one doc key (M6
+        # analog of the reference's accession normalization)
+        from metacache_mpi_ray.functions.urls import canonicalize_url_arrow
+
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        url = canonicalize_url_arrow(url)
     return pa.table(
         {
-            "doc_id": pa.array(_col_hash_i63(batch["url"], seed=11), type=pa.int64()),
-            "url": batch["url"],
+            "doc_id": pa.array(_col_hash_i63(url, seed=11), type=pa.int64()),
+            "url": url,
             "norm_text": norm,
             "text_hash": pa.array(_col_hash_i63(norm, seed=22), type=pa.int64()),
             "n_chars": pc.utf8_length(norm).cast(pa.int64()),
@@ -72,9 +81,14 @@ def _ingest_documents_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def ingest_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+def ingest_pages(
+    pages: "ray.data.Dataset", *, canonicalize_urls: bool = False
+) -> "ray.data.Dataset":
     """pages(url, warc_ts, html, text, lang) -> docs."""
-    return pages.map_batches(_ingest_pages_batch, batch_format="pyarrow")
+    import functools
+
+    fn = functools.partial(_ingest_pages_batch, canonicalize_urls=canonicalize_urls)
+    return pages.map_batches(fn, batch_format="pyarrow")
 
 
 def ingest_documents(documents: "ray.data.Dataset") -> "ray.data.Dataset":
