@@ -651,6 +651,46 @@ def q_dedup_eval_planted(sf_dir: str):
     return pair_eval(both, ["cluster_id"], ["true_src"]).select(["tp", "fp", "fn"])
 
 
+def q_ambiguity_filtered_docs(sf_dir: str):
+    """Ambiguous-feature removal (D4 analog, sketch_database.h:428-470):
+    docs whose n_chars 'feature bucket' spans more than 3 distinct
+    sources are dropped — a distinct-count grouped filter, independent
+    of the bucket SIZE cap (D3)."""
+    from metacache_mpi_ray.stages.candidates import ambiguity_filter
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars", "source"])
+    out = ambiguity_filter(ds, "n_chars", "source", max_sources=3)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def q_source_chars_moments(sf_dir: str):
+    """Info-mode statistics (mode_info.cpp:288-345 / stat_moments.h
+    analog): per-source mean/variance/skewness of document lengths via
+    distributed integer power sums (the int columns are the
+    hash-checked output; the float moments are derived views)."""
+    from metacache_mpi_ray.stages.stats import grouped_moments
+
+    ds = _documents(sf_dir, columns=["source", "n_chars"])
+    out = grouped_moments(ds, ["source"], "n_chars")
+    return out.select_columns(["source", "n", "sum_x", "sum_x2", "sum_x3"])
+
+
+def q_index_bucket_moments(sf_dir: str):
+    """Index statistics over REAL LSH bucket sizes (the non-SQL variant
+    of the moments operator): global mean/variance/skew of band-bucket
+    occupancy — what the reference's info mode prints for its feature
+    multimap."""
+    from metacache_mpi_ray.stages.banding import compute_bands
+    from metacache_mpi_ray.stages.candidates import bucket_stats
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+    from metacache_mpi_ray.stages.stats import grouped_moments
+
+    docs = read_docs(sf_dir)
+    sigs = compute_signatures(docs, CFG, batch_size=128)
+    sizes = bucket_stats(compute_bands(sigs, CFG), ["band_id", "band_hash"])
+    return grouped_moments(sizes, None, "bucket_size")
+
+
 def q_url_canonical(sf_dir: str):
     """URL canonicalization (M6 analog of the reference's accession
     extraction): scheme/host lowercasing, default-port stripping,
@@ -727,9 +767,10 @@ def q_sample_docs(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media binary column -> decoded
-    features via an actor-pool stage (decode kernel stubbed; schema,
-    batch sizing and actor signature real)."""
+    """Multimodal decode: real pure-numpy codecs (BMP headers/pixels,
+    WAV RIFF chunks, MJBM frame container) parse actually-encoded bytes
+    in an actor-pool stage; unknown codecs flow through the documented
+    'fake' stand-in policy."""
     from metacache_mpi_ray.stages.multimodal import (
         media_feature_pipeline,
         synth_media_table,
@@ -750,7 +791,7 @@ def q_video_frame_sample(sf_dir: str):
     )
     out = vids.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"n_frames": 4, "deterministic_fake": True},
+        fn_constructor_kwargs={"n_frames": 4},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
@@ -817,9 +858,26 @@ def q_cluster_lcs(sf_dir: str):
     SQL-derivable, non-vacuous at every sf. Cluster ids come from
     doc_id arithmetic (single streaming pass; the round-1 version built
     a driver-side dict over the whole corpus)."""
+    from metacache_mpi_ray.stages.substring import cluster_lcs_report
+
+    docs = _half_prefix_corpus(sf_dir)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cid = np.where(ids >= PLANT_OFF, ids - PLANT_OFF, ids)
+        return t.append_column("cluster_id", pa.array(cid, type=pa.int64()))
+
+    withc = docs.map_batches(attach, batch_format="pyarrow")
+    return cluster_lcs_report(withc, min_cluster=2, max_members=8)
+
+
+def _half_prefix_corpus(sf_dir: str):
+    """documents plus half-prefix copies (doc_id % 4 == 0 -> copy at
+    doc_id + PLANT_OFF holding the first half of the normalized text):
+    the planted partial-overlap corpus behind cluster_lcs and
+    substring_spans."""
     from metacache_mpi_ray.functions.hashing import arrow_string_buffer
     from metacache_mpi_ray.functions.text import normalize_text_arrow
-    from metacache_mpi_ray.stages.substring import cluster_lcs_report
 
     docs0 = _documents(sf_dir, columns=["doc_id", "text"])
 
@@ -852,15 +910,23 @@ def q_cluster_lcs(sf_dir: str):
             }
         )
 
-    docs = ingest_documents(docs0.map_batches(build, batch_format="pyarrow"))
+    return ingest_documents(docs0.map_batches(build, batch_format="pyarrow"))
 
-    def attach(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        cid = np.where(ids >= PLANT_OFF, ids - PLANT_OFF, ids)
-        return t.append_column("cluster_id", pa.array(cid, type=pa.int64()))
 
-    withc = docs.map_batches(attach, batch_format="pyarrow")
-    return cluster_lcs_report(withc, min_cluster=2, max_members=8)
+def q_substring_spans(sf_dir: str):
+    """Contiguous positional-anchor run scoring (A1 full analog,
+    candidates.h:118-180): per candidate pair, the longest anchor run
+    on one diagonal estimates the longest shared region. Run over the
+    planted half-prefix corpus (each planted pair shares exactly the
+    half text); est_span is a sampling-based estimate, so the driver
+    checks rows-only while pytest brackets it against the exact LCS."""
+    from metacache_mpi_ray.stages.substring import scored_substring_edges
+
+    docs = _half_prefix_corpus(sf_dir)
+    # half texts run ~150-600 chars at small sf; a 128-char span floor
+    # keeps most planted pairs in scope (the default 256 is for pages)
+    cfg = DedupConfig(min_match_len=128)
+    return scored_substring_edges(docs, cfg, num_partitions=8)
 
 
 QUERIES = {
@@ -888,6 +954,9 @@ QUERIES = {
     "abundance_redistribute": q_abundance_redistribute,
     "url_canonical": q_url_canonical,
     "html_extract": q_html_extract,
+    "ambiguity_filtered_docs": q_ambiguity_filtered_docs,
+    "source_chars_moments": q_source_chars_moments,
+    "index_bucket_moments": q_index_bucket_moments,
     "ranked_lca": q_ranked_lca,
     "dedup_eval": q_dedup_eval,
     "dedup_eval_planted": q_dedup_eval_planted,
@@ -906,6 +975,7 @@ QUERIES = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "lang_id": q_lang_id,
     "substring_candidates": q_substring_candidates,
+    "substring_spans": q_substring_spans,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
 }
@@ -1076,6 +1146,17 @@ ORACLE_SQL = {
         "  FROM documents WHERE doc_id % 5 = 0) "
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
         "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    "ambiguity_filtered_docs": (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars IN ("
+        "  SELECT n_chars FROM documents GROUP BY n_chars "
+        "  HAVING count(DISTINCT source) <= 3)"
+    ),
+    "source_chars_moments": (
+        "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_x, "
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_x2, "
+        "CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS sum_x3 "
+        "FROM documents GROUP BY source"
     ),
     "url_canonical": _url_canonical_oracle(),
     "html_extract": _html_extract_oracle(),

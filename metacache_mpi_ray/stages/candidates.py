@@ -113,10 +113,12 @@ def _make_edge_emitter(id_col: str, cap: int, hot_policy: str = "drop"):
             b = np.concatenate([b[sel], eb[es]])
             sel = np.ones(len(a), dtype=bool)
         # bridge rows: first + last group of this batch (possible split
-        # fragments), regardless of size
+        # fragments), regardless of size — they carry the fragment size
+        # so the stitch can enforce the cap on the REASSEMBLED bucket
         bridge_idx = [0] if len(starts) == 1 else [0, len(starts) - 1]
         bk = keys[starts[bridge_idx]]
         bm = mins[bridge_idx]
+        bsz = sizes[bridge_idx]
         return pa.table(
             {
                 "a": pa.array(
@@ -127,6 +129,10 @@ def _make_edge_emitter(id_col: str, cap: int, hot_policy: str = "drop"):
                 ),
                 "bridge_key": pa.array(
                     np.concatenate([np.zeros(sel.sum(), dtype=np.int64), bk]),
+                    type=pa.int64(),
+                ),
+                "bsz": pa.array(
+                    np.concatenate([np.zeros(sel.sum(), dtype=np.int64), bsz]),
                     type=pa.int64(),
                 ),
             }
@@ -168,11 +174,18 @@ def bucket_edges(
     edges = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
     # stitch buckets split across batch boundaries (tiny: <= 2 rows/batch)
     bridges = emitted.map_batches(
-        _split(True, ["a", "bridge_key"]), batch_format="pyarrow"
+        _split(True, ["a", "bridge_key", "bsz"]), batch_format="pyarrow"
     ).to_pandas()
     if len(bridges):
-        g = bridges.groupby("bridge_key")["a"].agg(["min", "nunique"])
+        g = bridges.groupby("bridge_key").agg(
+            **{"min": ("a", "min"), "nunique": ("a", "nunique"), "total": ("bsz", "sum")}
+        )
         split = g[g["nunique"] > 1]
+        if hot_policy == "drop" and len(split):
+            # a split bucket whose REASSEMBLED size exceeds the cap is
+            # overpopulated: no cross-fragment edges either (per-fragment
+            # stars already honored the per-fragment cap)
+            split = split[split["total"] <= cap]
         if len(split):
             extra = bridges.merge(
                 split.rename(columns={"min": "gmin"}), left_on="bridge_key", right_index=True
@@ -195,6 +208,35 @@ def dedupe_edges(edges, num_partitions: int = 32):
     """Collapse the same (a, b) edge found in multiple bands; keep the
     number of agreeing bands as a signal column ``n_bands_hit``."""
     return edges.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
+
+
+def ambiguity_filter(ds, key_col: str, source_col: str, max_sources: int):
+    """Ambiguous-feature removal (D4 analog, /root/reference/src/
+    sketch_database.h:428-470): drop every row whose ``key_col`` bucket
+    spans MORE than ``max_sources`` distinct sources — a feature present
+    across many sources/domains is non-discriminative, independent of
+    its raw SIZE (the D3 cap). Two grouped aggregates (the distinct
+    count comes from grouping (key, source) pairs first), then a
+    broadcast anti-filter with the small ambiguous-key list."""
+    import ray
+
+    pairs = ds.groupby([key_col, source_col]).aggregate(Count(alias_name="__n"))
+    distinct = pairs.groupby(key_col).aggregate(Count(alias_name="n_sources"))
+    amb = distinct.filter(expr=f"n_sources > {max_sources}").to_pandas()
+    if len(amb) == 0:
+        return ds
+    keys = np.sort(amb[key_col].to_numpy())
+    kref = ray.put(keys)
+
+    def drop(t: pa.Table) -> pa.Table:
+        from metacache_mpi_ray.stages.verify import lookup_sorted
+
+        k = ray.get(kref)
+        vals = t[key_col].to_numpy(zero_copy_only=False)
+        _, found = lookup_sorted(k, vals)
+        return t.filter(pa.array(~found))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
 
 
 def bucket_stats(ds, key_cols: list[str]):

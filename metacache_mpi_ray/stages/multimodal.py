@@ -1,19 +1,21 @@
-"""Multimodal (image/audio/video) column operators — Ray-side plumbing.
+"""Multimodal (image/audio/video) column operators.
 
-Media ride as opaque ``binary`` columns with typed metadata columns
-alongside (media_type, width/height/duration hints). The decode /
-resize / frame-sample kernels that need codec libraries are STUBBED
-(this container ships no PIL/ffmpeg): each stage raises
-NotImplementedError unless ``deterministic_fake=True``, in which case a
-seeded, content-derived fake output with the REAL schema, batch sizing
-and actor signature is produced — so the distributed plumbing (schema,
-batch size for large binary payloads, actor pools, output layout) is
-fully built and tested, and swapping in a real codec is a one-function
-change.
+Media ride as opaque ``binary`` columns with typed metadata alongside.
+The decode kernels are REAL pure-numpy codecs for formats that need no
+external library — BMP (24-bit BI_RGB) images, RIFF/WAVE PCM16 audio,
+and an explicit MJBM frame container for video (length-prefixed BMP
+frames) — so widths/heights/samples come from actually parsing encoded
+bytes. Formats that would need PIL/ffmpeg (JPEG, MP4, ...) hit the
+``on_unknown`` policy: ``"error"`` raises NotImplementedError at the
+integration point, ``"fake"`` emits the seeded content-derived stand-in
+(the round-1 stub behavior), ``"skip"`` drops the row.
+
+Per-row decode is inherent for variable-length encoded blobs, but rows
+are sliced zero-copy out of the shared Arrow binary buffer (no
+``.as_py()``) and all pixel/sample math is numpy.
 
 Batch-size note: binary payloads are large; callers should pass small
-``batch_size`` (e.g. 64) so batch x concurrency fits worker heaps
-(see map_batches calls in pipelines/queries.py and tests).
+``batch_size`` (e.g. 64) so batch x concurrency fits worker heaps.
 """
 
 from __future__ import annotations
@@ -24,118 +26,316 @@ import pyarrow as pa
 from metacache_mpi_ray.functions.hashing import U64, splitmix64
 
 
-def synth_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic synthetic media table: (media_id, media_type,
-    payload:binary, n_bytes). Payload bytes are seeded pseudo-random —
-    stand-ins for encoded images/audio."""
+# ---------------------------------------------------------------------------
+# pure-numpy codecs
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB .bmp bytes (bottom-up rows,
+    4-byte row padding, BGR order per the format)."""
+    h, w, _ = pixels.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = bytearray(off)
+    header[0:2] = b"BM"
+    header[2:6] = (off + img_size).to_bytes(4, "little")
+    header[10:14] = off.to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    header[34:38] = img_size.to_bytes(4, "little")
+    body = np.zeros((h, stride), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR
+    body[:, :row_raw] = bgr.reshape(h, row_raw)
+    return bytes(header) + body.tobytes()
+
+
+def decode_bmp(buf: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """.bmp bytes (uint8 array) -> (width, height, (h, w, 3) RGB)."""
+    if len(buf) < 54 or bytes(buf[:2]) != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int(buf[10:14].view("<u4")[0])
+    w = int(buf[18:22].view("<i4")[0])
+    h = int(buf[22:26].view("<i4")[0])
+    bpp = int(buf[28:30].view("<u2")[0])
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    stride = (w * 3 + 3) & ~3
+    body = buf[off : off + stride * abs(h)].reshape(abs(h), stride)
+    rows = body[:, : w * 3].reshape(abs(h), w, 3)
+    rgb = rows[::-1, :, ::-1] if h > 0 else rows[:, :, ::-1]
+    return w, abs(h), np.ascontiguousarray(rgb)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16 bytes."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = bytearray()
+    hdr += b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+    hdr += b"fmt " + (16).to_bytes(4, "little")
+    hdr += (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    hdr += sample_rate.to_bytes(4, "little")
+    hdr += (sample_rate * 2).to_bytes(4, "little")
+    hdr += (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    hdr += b"data" + n.to_bytes(4, "little")
+    return bytes(hdr) + data
+
+
+def decode_wav(buf: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM16 bytes -> (sample_rate, n_channels, samples)."""
+    if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, bits = 12, None, None, None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        size = int(buf[pos + 4 : pos + 8].view("<u4")[0])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels = int(body[2:4].view("<u2")[0])
+            rate = int(body[4:8].view("<u4")[0])
+            bits = int(body[14:16].view("<u2")[0])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or bits != 16:
+        raise ValueError("unsupported WAV layout")
+    return rate, channels, data[: len(data) & ~1].view("<i2")
+
+
+MJBM_MAGIC = b"MJBM"
+
+
+def encode_mjbm(frames: list[bytes]) -> bytes:
+    """Length-prefixed BMP frame container (the repo's explicit 'video'
+    format: parseable without ffmpeg, streamable frame by frame)."""
+    out = bytearray(MJBM_MAGIC)
+    out += len(frames).to_bytes(4, "little")
+    for f in frames:
+        out += len(f).to_bytes(4, "little") + f
+    return bytes(out)
+
+
+def decode_mjbm_frames(buf: np.ndarray):
+    """Yield (frame_idx, frame_bytes_view) from an MJBM payload."""
+    if len(buf) < 8 or bytes(buf[:4]) != MJBM_MAGIC:
+        raise ValueError("not an MJBM payload")
+    n = int(buf[4:8].view("<u4")[0])
+    pos = 8
+    for i in range(n):
+        ln = int(buf[pos : pos + 4].view("<u4")[0])
+        yield i, buf[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+
+
+def _binary_rows(col):
+    """Zero-copy (data, starts, ends) over an Arrow binary column."""
+    from metacache_mpi_ray.functions.hashing import arrow_string_buffer
+
+    return arrow_string_buffer(col)
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (real encodings)
+# ---------------------------------------------------------------------------
+
+def synth_media_table(n: int, seed: int = 7, opaque_every: int = 8) -> pa.Table:
+    """Deterministic media table with REAL encodings: BMP images, WAV
+    audio, MJBM videos; every ``opaque_every``-th row is an 'opaque'
+    payload (unknown codec) to exercise the on_unknown policy."""
     rng = np.random.default_rng(seed)
-    types = rng.choice(["image", "audio", "video"], size=n).tolist()
-    sizes = rng.integers(256, 4096, size=n)
-    payloads = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes() for s in sizes]
+    ids, types, payloads = [], [], []
+    for i in range(n):
+        if opaque_every and i % opaque_every == opaque_every - 1:
+            t = "opaque"
+            p = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
+        else:
+            t = ["image", "audio", "video"][int(rng.integers(0, 3))]
+            if t == "image":
+                h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                p = encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+            elif t == "audio":
+                ns = int(rng.integers(64, 512))
+                p = encode_wav(
+                    (1000 * np.sin(np.arange(ns) * float(rng.uniform(0.05, 0.5)))).astype(
+                        np.int16
+                    ),
+                    sample_rate=8000,
+                )
+            else:
+                nf = int(rng.integers(3, 9))
+                h, w = int(rng.integers(4, 12)), int(rng.integers(4, 12))
+                frames = [
+                    encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                    for _ in range(nf)
+                ]
+                p = encode_mjbm(frames)
+        ids.append(i)
+        types.append(t)
+        payloads.append(p)
     return pa.table(
         {
-            "media_id": pa.array(range(n), type=pa.int64()),
+            "media_id": pa.array(ids, type=pa.int64()),
             "media_type": pa.array(types, type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
-            "n_bytes": pa.array(sizes, type=pa.int64()),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )
 
 
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
+def _fake_dims_feature(row: np.ndarray):
+    h = int(splitmix64(U64(len(row))))
+    w = 16 + (h & 0xFF)
+    ht = 16 + ((h >> 8) & 0xFF)
+    hist = np.bincount(row >> 5, minlength=8).astype(np.float32)
+    return w, ht, hist / max(1, len(row))
+
+
 class ImageDecoder:
-    """Actor-pool stage: payload -> decoded dims + pixel feature vector.
+    """Actor-pool stage: payload -> (media_id, width, height, feature).
 
-    Real codec absent: with deterministic_fake=True emits a
-    content-derived fake (stable across runs/workers); otherwise raises
-    NotImplementedError to mark the integration point."""
+    BMP decodes for real (header dims + 8-bin pixel histogram); MJBM
+    decodes its first frame; WAV maps to (n_samples, n_channels) with a
+    sample histogram. Unknown codecs follow ``on_unknown``:
+    'error' (default) raises NotImplementedError, 'fake' emits the
+    seeded stand-in, 'skip' drops the row."""
 
-    def __init__(self, deterministic_fake: bool = False):
-        self.fake = deterministic_fake
+    def __init__(self, on_unknown: str = "error", deterministic_fake: bool | None = None):
+        if deterministic_fake is not None:  # round-1 compat spelling
+            on_unknown = "fake" if deterministic_fake else "error"
+        assert on_unknown in ("error", "fake", "skip")
+        self.on_unknown = on_unknown
+
+    def _decode_one(self, row: np.ndarray):
+        head = bytes(row[:4]) if len(row) >= 4 else b""
+        if head[:2] == b"BM":
+            w, h, px = decode_bmp(row)
+            hist = np.bincount(px.reshape(-1) >> 5, minlength=8).astype(np.float32)
+            return w, h, hist / px.size
+        if head == MJBM_MAGIC:
+            _, frame = next(iter(decode_mjbm_frames(row)))
+            w, h, px = decode_bmp(frame)
+            hist = np.bincount(px.reshape(-1) >> 5, minlength=8).astype(np.float32)
+            return w, h, hist / px.size
+        if head == b"RIFF":
+            rate, ch, samples = decode_wav(row)
+            hist = np.bincount(
+                (samples.astype(np.int32) + 32768) >> 13, minlength=8
+            ).astype(np.float32)
+            return len(samples), ch, hist / max(1, len(samples))
+        if self.on_unknown == "fake":
+            return _fake_dims_feature(row)
+        if self.on_unknown == "skip":
+            return None
+        raise NotImplementedError(
+            f"no pure-numpy decoder for payload magic {head!r}; formats beyond "
+            "BMP/WAV/MJBM need a codec library not present in this environment"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires a codec library (PIL/opencv) not present "
-                "in this environment; pass deterministic_fake=True for plumbing"
-            )
-        payloads = batch["payload"]
-        if isinstance(payloads, pa.ChunkedArray):
-            payloads = payloads.combine_chunks()
-        n = len(payloads)
-        # content-derived fake dims + 8-dim feature (byte histogram moments)
-        feats = np.zeros((n, 8), dtype=np.float32)
-        widths = np.zeros(n, dtype=np.int64)
-        heights = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            b = np.frombuffer(payloads[i].as_py(), dtype=np.uint8)
-            h = int(splitmix64(U64(len(b))))
-            widths[i] = 16 + (h & 0xFF)
-            heights[i] = 16 + ((h >> 8) & 0xFF)
-            hist = np.bincount(b >> 5, minlength=8).astype(np.float32)
-            feats[i] = hist / max(1, len(b))
+        data, starts, ends = _binary_rows(batch["payload"])
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_id, widths, heights, feats = [], [], [], []
+        for i in range(len(ids)):
+            got = self._decode_one(data[starts[i] : ends[i]])
+            if got is None:
+                continue
+            w, h, f = got
+            out_id.append(int(ids[i]))
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
+        fmat = (
+            np.stack(feats).astype(np.float32)
+            if feats
+            else np.zeros((0, 8), dtype=np.float32)
+        )
         return pa.table(
             {
-                "media_id": batch["media_id"],
-                "width": pa.array(widths),
-                "height": pa.array(heights),
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "width": pa.array(widths, type=pa.int64()),
+                "height": pa.array(heights, type=pa.int64()),
                 "feature": pa.FixedSizeListArray.from_arrays(
-                    pa.array(feats.reshape(-1)), 8
+                    pa.array(fmat.reshape(-1)), 8
                 ),
             }
         )
 
 
 class ImageResizer:
-    """Actor-pool stage: payload -> resized payload (stub: deterministic
-    truncation/duplication of bytes keeps sizes + schema realistic)."""
+    """Actor-pool stage: BMP payload -> re-encoded BMP resized to
+    (target_w, target_h) via real block-mean/nearest resampling."""
 
-    def __init__(self, target_bytes: int = 1024, deterministic_fake: bool = False):
-        self.target = target_bytes
-        self.fake = deterministic_fake
+    def __init__(self, target_w: int = 8, target_h: int = 8, on_unknown: str = "error"):
+        assert on_unknown in ("error", "skip")
+        self.tw, self.th = target_w, target_h
+        self.on_unknown = on_unknown
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        yi = (np.arange(self.th) * h // self.th).clip(0, h - 1)
+        xi = (np.arange(self.tw) * w // self.tw).clip(0, w - 1)
+        return px[yi][:, xi]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("resize requires a codec library")
-        payloads = batch["payload"]
-        if isinstance(payloads, pa.ChunkedArray):
-            payloads = payloads.combine_chunks()
-        out = []
-        for i in range(len(payloads)):
-            b = payloads[i].as_py()
-            rep = (self.target + len(b) - 1) // max(1, len(b))
-            out.append((b * rep)[: self.target])
+        data, starts, ends = _binary_rows(batch["payload"])
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_id, out_p = [], []
+        for i in range(len(ids)):
+            row = data[starts[i] : ends[i]]
+            if len(row) >= 2 and bytes(row[:2]) == b"BM":
+                _, _, px = decode_bmp(row)
+                out_id.append(int(ids[i]))
+                out_p.append(encode_bmp(self._resize(px)))
+            elif self.on_unknown == "skip":
+                continue
+            else:
+                raise NotImplementedError("resize supports BMP payloads only")
         return pa.table(
             {
-                "media_id": batch["media_id"],
-                "payload": pa.array(out, type=pa.binary()),
-                "n_bytes": pa.array([len(x) for x in out], type=pa.int64()),
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "payload": pa.array(out_p, type=pa.binary()),
+                "n_bytes": pa.array([len(x) for x in out_p], type=pa.int64()),
             }
         )
 
 
 class FrameSampler:
-    """Actor-pool stage: video payload -> k evenly spaced 'frames'
-    (1 row -> k rows; stub slices the byte stream deterministically)."""
+    """Actor-pool stage: MJBM video payload -> up to ``n_frames`` evenly
+    spaced decoded frames (1 row -> k rows of real BMP bytes)."""
 
-    def __init__(self, n_frames: int = 4, deterministic_fake: bool = False):
+    def __init__(self, n_frames: int = 4, on_unknown: str = "error"):
+        assert on_unknown in ("error", "skip")
         self.k = n_frames
-        self.fake = deterministic_fake
+        self.on_unknown = on_unknown
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("frame extraction requires ffmpeg")
-        payloads = batch["payload"]
-        if isinstance(payloads, pa.ChunkedArray):
-            payloads = payloads.combine_chunks()
+        data, starts, ends = _binary_rows(batch["payload"])
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         out_id, out_f, out_b = [], [], []
-        for i in range(len(payloads)):
-            b = payloads[i].as_py()
-            step = max(1, len(b) // self.k)
-            for f in range(self.k):
+        for i in range(len(ids)):
+            row = data[starts[i] : ends[i]]
+            if len(row) < 4 or bytes(row[:4]) != MJBM_MAGIC:
+                if self.on_unknown == "skip":
+                    continue
+                raise NotImplementedError("frame sampling supports MJBM payloads only")
+            frames = list(decode_mjbm_frames(row))
+            n = len(frames)
+            take = sorted({j * n // self.k for j in range(min(self.k, n))})
+            for j in take:
                 out_id.append(int(ids[i]))
-                out_f.append(f)
-                out_b.append(b[f * step : f * step + step])
+                out_f.append(j)
+                out_b.append(frames[j][1].tobytes())
         return pa.table(
             {
                 "media_id": pa.array(out_id, type=pa.int64()),
@@ -145,13 +345,16 @@ class FrameSampler:
         )
 
 
-def media_feature_pipeline(media_ds, *, concurrency: int = 2, batch_size: int = 64):
-    """The full multimodal plumbing: decode (actor pool, small batches
-    for large binary rows) -> features; demonstrates per-stage
-    batch-size control for binary payloads."""
+def media_feature_pipeline(
+    media_ds, *, concurrency: int = 2, batch_size: int = 64, on_unknown: str = "fake"
+):
+    """Decode (actor pool, small batches for large binary rows) ->
+    (media_id, width, height, feature). ``on_unknown='fake'`` keeps
+    opaque-codec rows flowing with stand-in features; pass 'skip' to
+    drop them or 'error' to fail loudly."""
     return media_ds.map_batches(
         ImageDecoder,
-        fn_constructor_kwargs={"deterministic_fake": True},
+        fn_constructor_kwargs={"on_unknown": on_unknown},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

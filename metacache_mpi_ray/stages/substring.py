@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from metacache_mpi_ray.config import DedupConfig
-from metacache_mpi_ray.functions.hashing import U64
+from metacache_mpi_ray.functions.hashing import U64, splitmix64
 from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
 
 
@@ -102,6 +102,195 @@ def substring_dup_edges(docs, cfg: DedupConfig | None = None, **kw):
     need = max(1, (cfg.min_match_len - cfg.anchor_len) // (cfg.anchor_len * 2))
     edges = anchor_candidates(docs, cfg, **kw)
     return edges.filter(expr=f"n_bands_hit >= {need}")
+
+
+# ---------------------------------------------------------------------------
+# A1 full analog: contiguous positional-anchor runs -> shared-span estimate
+# ---------------------------------------------------------------------------
+
+def positional_anchor_rows(cfg: DedupConfig):
+    """docs -> (anchor_hash, doc_id, pos) rows: the winnowed anchors of
+    ``anchor_rows`` but carrying each anchor's window position, which
+    the contiguous-run scorer needs (/root/reference/src/candidates.h:
+    118-180 scores hits inside a bounded window RANGE, not hit counts).
+    One (doc_id, anchor_hash) keeps its smallest position."""
+    from metacache_mpi_ray.functions.hashing import (
+        arrow_string_buffer,
+        shingle_hashes_from_buffer,
+    )
+
+    L, mod = cfg.anchor_len, cfg.anchor_mod
+
+    def emit(batch: pa.Table) -> pa.Table:
+        data, starts, ends = arrow_string_buffer(batch["norm_text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lens = ends - starts
+        long_enough = lens >= L
+        empty = pa.table(
+            {"anchor_hash": pa.array([], type=pa.int64()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "pos": pa.array([], type=pa.int64())}
+        )
+        if not long_enough.any():
+            return empty
+        h, offsets = shingle_hashes_from_buffer(
+            data, starts[long_enough], ends[long_enough], L, cfg.seed + 1
+        )
+        counts = np.diff(offsets)
+        doc_of = np.repeat(ids[long_enough], counts)
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        sel = h % U64(mod) == 0
+        if not sel.any():
+            return empty
+        hs, ds_, ps = h[sel], doc_of[sel], pos[sel]
+        order = np.lexsort((ps, hs, ds_))
+        hs, ds_, ps = hs[order], ds_[order], ps[order]
+        keep = np.empty(len(hs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table(
+            {
+                "anchor_hash": pa.array((hs[keep] >> np.uint64(1)).astype(np.int64)),
+                "doc_id": pa.array(ds_[keep], type=pa.int64()),
+                "pos": pa.array(ps[keep], type=pa.int64()),
+            }
+        )
+
+    return emit
+
+
+def _emit_bucket_pairs(pair_cap: int):
+    """Sorted (anchor_hash, doc_id, pos) batch -> (a, b, diag, pos_a)
+    pair rows per bucket (all pairs, bucket capped at ``pair_cap``
+    deterministically-sampled members). Buckets split across batch
+    boundaries score per fragment (recall-lenient, the same fragment
+    semantics as the capped LSH buckets)."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        keys = t["anchor_hash"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "diag": pa.array([], type=pa.int64()),
+             "pos_a": pa.array([], type=pa.int64())}
+        )
+        if n == 0:
+            return empty
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b, out_d, out_p = [], [], [], []
+        for s, z in zip(starts[sizes > 1].tolist(), sizes[sizes > 1].tolist()):
+            g_ids = ids[s : s + z]
+            g_pos = pos[s : s + z]
+            if z > pair_cap:
+                mix = splitmix64(g_ids.view(U64))
+                pick = np.argsort(mix)[:pair_cap]
+                g_ids, g_pos = g_ids[pick], g_pos[pick]
+                z = pair_cap
+            i, j = np.triu_indices(z, 1)
+            ai, bj = g_ids[i], g_ids[j]
+            pi, pj = g_pos[i], g_pos[j]
+            swap = ai > bj
+            a = np.where(swap, bj, ai)
+            b = np.where(swap, ai, bj)
+            pa_ = np.where(swap, pj, pi)
+            pb_ = np.where(swap, pi, pj)
+            keep = a != b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+            out_d.append((pa_ - pb_)[keep])
+            out_p.append(pa_[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "diag": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "pos_a": pa.array(np.concatenate(out_p), type=pa.int64()),
+            }
+        )
+
+    return emit
+
+
+def scored_substring_edges(
+    docs,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int = 16,
+    pair_cap: int = 16,
+    max_gap: int | None = None,
+):
+    """Candidate pairs scored by the longest CONTIGUOUS anchor run on a
+    shared diagonal (pos_a - pos_b constant): est_span ≈ the longest
+    exactly-shared region — the precision upgrade over the count-based
+    ``substring_dup_edges`` heuristic. Returns (a, b, est_span) with
+    est_span >= cfg.min_match_len.
+
+    Two sort-shuffles, both vectorized per batch: anchors bucket by
+    hash (pairs per bucket), then pairs order by (a, b, diag, pos_a)
+    for run detection via gap thresholds + reduceat.
+    """
+    from ray.data.aggregate import Max
+
+    cfg = cfg or DedupConfig()
+    if max_gap is None:
+        # anchors sample ~1/anchor_mod of positions; a gap beyond
+        # anchor_len + 8*mod positions inside a truly shared region has
+        # probability (1-1/mod)^gap ~ e^-8 — treat as a region break
+        max_gap = cfg.anchor_len + 8 * cfg.anchor_mod
+    rows = docs.map_batches(positional_anchor_rows(cfg), batch_format="pyarrow")
+    pairs = (
+        rows.sort("anchor_hash")
+        .map_batches(_emit_bucket_pairs(pair_cap), batch_format="pyarrow")
+    )
+
+    def runs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "est_span": pa.array([], type=pa.int64())}
+        )
+        if n == 0:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        d = t["diag"].to_numpy(zero_copy_only=False)
+        p = t["pos_a"].to_numpy(zero_copy_only=False)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (
+            (a[1:] != a[:-1])
+            | (b[1:] != b[:-1])
+            | (d[1:] != d[:-1])
+            | ((p[1:] - p[:-1]) > max_gap)
+        )
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, n))
+        span = p[starts + sizes - 1] - p[starts] + cfg.anchor_len
+        return pa.table(
+            {
+                "a": pa.array(a[starts], type=pa.int64()),
+                "b": pa.array(b[starts], type=pa.int64()),
+                "est_span": pa.array(span, type=pa.int64()),
+            }
+        )
+
+    scored = (
+        pairs.sort(["a", "b", "diag", "pos_a"])
+        .map_batches(runs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("est_span", alias_name="est_span"))
+    )
+    return scored.filter(expr=f"est_span >= {cfg.min_match_len}")
 
 
 # ---------------------------------------------------------------------------

@@ -172,12 +172,20 @@ def verify_edges_exact_jaccard(edges, docs, cfg: DedupConfig):
         a = batch["a"].to_numpy(zero_copy_only=False)
         b_ = batch["b"].to_numpy(zero_copy_only=False)
         sims = np.empty(len(a), dtype=np.float64)
+        # per-edge work is inherent to exact Jaccard (each edge owns a
+        # distinct set pair, all bounded by the dup subset); the sets
+        # are stored unique-sorted, so membership counting is one
+        # searchsorted pass — no per-edge re-sorting
         for i in range(len(a)):
             sa, sb = ss.get(int(a[i])), ss.get(int(b_[i]))
-            if sa is None or sb is None:
+            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
                 sims[i] = 0.0
                 continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            pos = np.searchsorted(sb, sa)
+            pos = np.minimum(pos, len(sb) - 1)
+            inter = int(np.count_nonzero(sb[pos] == sa))
             sims[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
         keep = sims >= thresh
         return pa.table(

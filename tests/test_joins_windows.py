@@ -66,21 +66,47 @@ def test_topk_lag_sessionize():
     assert sorted(u1s["n_events"]) == [1, 2]
 
 
-def test_multimodal_plumbing():
+def test_multimodal_real_codecs():
     from metacache_mpi_ray.stages.multimodal import (
         FrameSampler,
         ImageDecoder,
         ImageResizer,
+        decode_bmp,
+        decode_mjbm_frames,
+        decode_wav,
+        encode_bmp,
+        encode_mjbm,
+        encode_wav,
         media_feature_pipeline,
         synth_media_table,
     )
 
+    # codecs round-trip exactly
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    w, h, back = decode_bmp(np.frombuffer(encode_bmp(px), dtype=np.uint8))
+    assert (w, h) == (5, 7) and (back == px).all()
+    samples = (rng.normal(size=300) * 1000).astype(np.int16)
+    rate, ch, got = decode_wav(np.frombuffer(encode_wav(samples, 8000), dtype=np.uint8))
+    assert rate == 8000 and ch == 1 and (got == samples).all()
+    frames = [encode_bmp(px), encode_bmp(px[:4])]
+    dec = list(decode_mjbm_frames(np.frombuffer(encode_mjbm(frames), dtype=np.uint8)))
+    assert len(dec) == 2 and dec[0][1].tobytes() == frames[0]
+
     media = rd.from_arrow(synth_media_table(64, seed=3))
     feats = media_feature_pipeline(media, concurrency=2, batch_size=16).to_pandas()
-    assert len(feats) == 64
+    assert len(feats) == 64  # 'fake' policy keeps opaque rows
     assert {"media_id", "width", "height", "feature"} <= set(feats.columns)
 
-    # determinism: same input -> identical fake features
+    # decoded dims are REAL: re-derive one image's dims from its bytes
+    tab = synth_media_table(64, seed=3)
+    df = tab.to_pandas()
+    img = df[df["media_type"] == "image"].iloc[0]
+    w, h, _ = decode_bmp(np.frombuffer(img["payload"], dtype=np.uint8))
+    row = feats.set_index("media_id").loc[img["media_id"]]
+    assert (int(row["width"]), int(row["height"])) == (w, h)
+
+    # determinism across runs
     feats2 = media_feature_pipeline(
         rd.from_arrow(synth_media_table(64, seed=3)), concurrency=2, batch_size=16
     ).to_pandas()
@@ -88,18 +114,40 @@ def test_multimodal_plumbing():
     b = feats2.sort_values("media_id").reset_index(drop=True)
     assert (a["width"] == b["width"]).all()
 
-    # real-codec integration point is explicit
-    dec = ImageDecoder(deterministic_fake=False)
+    # unknown-codec integration point stays explicit
+    opaque = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "payload": pa.array([b"JFIF-not-really" * 10], type=pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        dec(synth_media_table(2))
+        ImageDecoder(on_unknown="error")(opaque)
+    assert len(ImageDecoder(on_unknown="skip")(opaque)) == 0
 
-    rs = ImageResizer(target_bytes=128, deterministic_fake=True)
-    out = rs(synth_media_table(4))
-    assert out["n_bytes"].to_pylist() == [128] * 4
+    # real resize: output decodes to the target dims
+    rs = ImageResizer(target_w=4, target_h=3, on_unknown="skip")
+    imgs = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([encode_bmp(px)], type=pa.binary()),
+        }
+    )
+    out = rs(imgs)
+    rw, rh, rpx = decode_bmp(np.frombuffer(out["payload"][0].as_py(), dtype=np.uint8))
+    assert (rw, rh) == (4, 3)
 
-    fs = FrameSampler(n_frames=4, deterministic_fake=True)
-    frames = fs(synth_media_table(3))
-    assert len(frames) == 12
+    # frame sampling parses the container and emits decodable frames
+    vids = pa.table(
+        {
+            "media_id": pa.array([9], type=pa.int64()),
+            "payload": pa.array([encode_mjbm([encode_bmp(px)] * 6)], type=pa.binary()),
+        }
+    )
+    fr = FrameSampler(n_frames=4, on_unknown="skip")(vids)
+    assert len(fr) == 4
+    fw, fh, _ = decode_bmp(np.frombuffer(fr["frame"][0].as_py(), dtype=np.uint8))
+    assert (fw, fh) == (5, 7)
 
 
 def test_ivf_topk_recall_vs_brute_force():

@@ -115,3 +115,49 @@ def test_distributed_cluster_method_matches_driver(corpus_dir):
     k = x.sort_values("doc_id").reset_index(drop=True)
     assert (m["cluster_id"].values == k["cluster_id"].values).all()
     assert (m["is_dup"].values == k["is_dup"].values).all()
+
+
+def test_scored_substring_edges_estimates_shared_span():
+    """A1 full analog: the contiguous-run score must track the TRUE
+    longest-common-substring length on planted partial overlaps and
+    stay silent on unrelated docs."""
+    from metacache_mpi_ray.functions.text import normalize_text_py
+    from metacache_mpi_ray.stages.ingest import ingest_documents
+    from metacache_mpi_ray.stages.substring import (
+        lcs_len_hashed,
+        scored_substring_edges,
+    )
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(600)]
+
+    def mk(n):
+        return " ".join(words[int(rng.integers(0, 600))] for _ in range(n))
+
+    shared = mk(150)  # ~ 500+ chars shared span
+    texts = {
+        1: mk(120) + " " + shared + " " + mk(100),
+        2: mk(90) + " " + shared + " " + mk(130),
+        3: mk(200),   # unrelated
+        4: mk(210),   # unrelated
+    }
+    tab = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+        }
+    )
+    docs = ingest_documents(rd.from_arrow(tab))
+    out = scored_substring_edges(docs, CFG, num_partitions=4).to_pandas()
+    # exactly the planted pair survives the min_match_len filter
+    assert len(out) == 1
+    assert (int(out["a"][0]), int(out["b"][0])) == (1, 2)
+    exact = lcs_len_hashed(
+        normalize_text_py(texts[1]).encode(), normalize_text_py(texts[2]).encode()
+    )
+    est = int(out["est_span"][0])
+    # run-estimate brackets the true span: anchors under-cover the ends
+    # by at most ~anchor_len + sampling slack each side, never overshoot
+    # beyond one max_gap bridge
+    assert exact >= CFG.min_match_len
+    assert 0.6 * exact <= est <= 1.3 * exact
