@@ -47,6 +47,20 @@ def _corpus_dir(n_docs: int | None = None) -> str:
     return out
 
 
+def _cpu_probe() -> float:
+    """Single-thread fixed-work probe (250M u64 mix ops): the sandbox
+    VM's deliverable CPU fluctuates >2x between runs (BASELINE.md);
+    recording the probe alongside each bench run attributes wall-time
+    swings to the host, not the engine."""
+    import numpy as np
+
+    a = np.arange(50_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(5):
+        a = (a ^ (a >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -83,13 +97,59 @@ def run_bench() -> dict:
 
     # warm the page cache so we measure compute+shuffle, not first-touch IO
     rd.read_parquet(f"{corpus}/pages").count()
+    # warm the Ray worker pool (process spawn + numpy/library imports
+    # cost ~4 s on the first Dataset execution and would otherwise be
+    # charged to the headline; workers persist across executions)
+    warm = ingest_pages(
+        rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
+    ).limit(2048)
+    near_dup_pipeline(warm, cfg, num_partitions=4).clusters.count()
 
     t0 = time.time()
-    docs = ingest_pages(rd.read_parquet(f"{corpus}/pages"))
+    docs = ingest_pages(
+        rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
+    )
     res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
     n_docs = res.clusters.count()
     headline = time.time() - t0
     queries["dedup_synth"] = round(headline, 3)
+
+    # incremental query-vs-index (the reference's query mode): the index
+    # build is checkpointed under the corpus dir (first run pays it once;
+    # resumes are read-back), the timed section is the probe of a new
+    # batch — same-text pages under variant urls, so every doc matches
+    from metacache_mpi_ray.pipelines.incremental import (
+        build_index,
+        query_against_index,
+    )
+
+    idx_root = os.path.join(corpus, "_index")
+    build_index(
+        ingest_pages(
+            rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
+        ),
+        cfg,
+        idx_root,
+        num_partitions=num_partitions,
+    )
+    new_batch = rd.read_parquet(
+        f"{corpus}/pages", columns=["url", "html", "text"]
+    ).limit(10000)
+
+    def variant(t):
+        import pyarrow.compute as _pc
+
+        return t.set_column(
+            t.schema.get_field_index("url"),
+            "url",
+            _pc.binary_join_element_wise(t["url"], "?v=2", ""),
+        )
+
+    b_docs = ingest_pages(new_batch.map_batches(variant, batch_format="pyarrow"))
+    t0 = time.time()
+    n_q = query_against_index(b_docs, idx_root, num_partitions=num_partitions).count()
+    queries["incremental_query"] = round(time.time() - t0, 3)
+    assert n_q == 10000
 
     from metacache_mpi_ray.pipelines.queries import (
         q_simhash_dup_pairs,
@@ -119,6 +179,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        "cpu_probe_sec": _cpu_probe(),
     }
 
 

@@ -93,8 +93,11 @@ def resolve_text_batch(batch: pa.Table) -> pa.Table:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         try:
-            extracted = extract_text_html_arrow(html.cast(pa.string()))
-            text = pc.if_else(pc.is_valid(text), text, extracted)
+            # run the regex chain over ONLY the null-text rows (usually a
+            # small fraction), then scatter the results back
+            null_mask = pc.is_null(text)
+            sub = extract_text_html_arrow(html.filter(null_mask).cast(pa.string()))
+            text = pc.replace_with_mask(text, null_mask, sub)
         except pa.ArrowInvalid:
             # html not valid utf-8 -> per-row decode fallback
             tvals = text.to_pylist()

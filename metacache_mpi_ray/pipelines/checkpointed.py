@@ -74,7 +74,9 @@ def run_dedup_checkpointed(
     shard_files = {k: files[k::num_shards] for k in range(num_shards)}
 
     def sig_shard(k: int):
-        docs = ingest_pages(rd.read_parquet(shard_files[k]))
+        docs = ingest_pages(
+            rd.read_parquet(shard_files[k], columns=["url", "html", "text"])
+        )
         return compute_signatures(docs, cfg, batch_size=128)
 
     t0 = time.time()

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.banding import compute_bands
@@ -80,6 +80,15 @@ def build_index(
             ),
             num_partitions=num_partitions,
         ),
+    )
+    # the queryable band table (bkey, doc_id) is part of the persisted
+    # index — queries probe it directly instead of re-banding millions
+    # of stored signatures per batch (the reference stores the feature
+    # multimap itself, not just the sketches)
+    checkpointed_stage(
+        ckpt_root,
+        "bands",
+        lambda: _band_keys(sigs, cfg, "doc_id"),
     )
     verified = checkpointed_stage(
         ckpt_root,
@@ -144,46 +153,87 @@ def query_against_index(
     sigs_idx = _read_stage(ckpt_root, "signatures", columns=["doc_id", "sig"])
     sigs_new = compute_signatures(new_docs, cfg, batch_size=128).materialize()
 
-    bands_idx = _band_keys(sigs_idx, cfg, "idx_id")
+    try:
+        bands_idx = _read_stage(ckpt_root, "bands").rename_columns(
+            {"doc_id": "idx_id"}
+        )
+    except FileNotFoundError:
+        # index built by an older writer without a bands artifact:
+        # derive them from the stored signatures
+        bands_idx = _band_keys(sigs_idx, cfg, "idx_id")
     bands_new = _band_keys(sigs_new, cfg, "new_id")
 
-    # overpopulated-feature removal on the index side (the reference
-    # clears hot features at build, sketch_database.h:398-417): hot band
-    # buckets are non-discriminative boilerplate and would blow up the
-    # join fan-out. The hot-key list is small by construction (each key
-    # held > cap rows), so it broadcasts.
-    hot = (
-        bands_idx.groupby("bkey")
-        .aggregate(Count(alias_name="n"))
-        .filter(expr=f"n > {cfg.bucket_cap}")
-    )
-    hot_df = hot.to_pandas()  # empty result loses schema -> guard
-    hot_keys = (
-        np.sort(hot_df["bkey"].to_numpy(dtype=np.int64))
-        if len(hot_df)
-        else np.empty(0, dtype=np.int64)
-    )
-    if len(hot_keys):
-        hot_ref = ray.put(hot_keys)
+    # the probe: ONE sort-shuffle over the union of stored and new band
+    # rows (the shuffle-by-feature form of accumulate_matches), with a
+    # vectorized per-batch segment kernel that (a) drops overpopulated
+    # buckets — the reference's hot-feature removal,
+    # sketch_database.h:398-417 — and (b) emits (new x stored) pairs per
+    # surviving bucket. This replaces a census groupby + hash join
+    # (2 shuffles over every band row) with a single range shuffle;
+    # buckets split across batch boundaries probe per fragment, the
+    # same recall-lenient fragment semantics as the LSH bucket stage.
+    def tag(side: int, id_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bkey": t["bkey"],
+                    "id": t[id_col].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(t), side, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
 
-        def drop_hot(t: pa.Table) -> pa.Table:
-            hk = ray.get(hot_ref)
-            keys = t["bkey"].to_numpy(zero_copy_only=False)
-            _, found = lookup_sorted(hk, keys)
-            return t.filter(pa.array(~found))
+        return f
 
-        bands_idx = bands_idx.map_batches(drop_hot, batch_format="pyarrow")
-
-    # the probe: hash-join new bands against stored bands on the band
-    # key — the shuffle-by-feature form of accumulate_matches
-    j = bands_new.join(
-        bands_idx, join_type="inner", num_partitions=num_partitions, on=("bkey",)
+    tagged = bands_idx.map_batches(tag(0, "idx_id"), batch_format="pyarrow").union(
+        bands_new.map_batches(tag(1, "new_id"), batch_format="pyarrow")
     )
+    cap = cfg.bucket_cap
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = t["bkey"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+        if n == 0:
+            return empty
+        order = np.lexsort((side, keys))
+        keys, ids, side = keys[order], ids[order], side[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        # per bucket: stored rows sort first (side 0), new rows after
+        out_a, out_b = [], []
+        n_new_per = np.add.reduceat(side.astype(np.int64), starts)
+        mixed = (n_new_per > 0) & (n_new_per < sizes) & (sizes <= cap)
+        for s, z, nn in zip(
+            starts[mixed].tolist(), sizes[mixed].tolist(), n_new_per[mixed].tolist()
+        ):
+            stored = ids[s : s + z - nn]
+            new = ids[s + z - nn : s + z]
+            out_a.append(np.repeat(new, len(stored)))
+            out_b.append(np.tile(stored, nn))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    # pair dedup across bands is skipped, like the flagship: scoring is
+    # vectorized and idempotent, so re-verifying a pair found by k bands
+    # costs less than a (new_id, idx_id) shuffle
     pairs = (
-        j.select_columns(["new_id", "idx_id"])
-        .groupby(["new_id", "idx_id"])
-        .aggregate(Count(alias_name="n_bands_hit"))
-        .rename_columns({"new_id": "a", "idx_id": "b"})
+        tagged.sort("bkey")
+        .map_batches(probe, batch_format="pyarrow")
         .materialize()
     )
 
@@ -221,14 +271,29 @@ def query_against_index(
 
     def to_cluster(t: pa.Table) -> pa.Table:
         ids_s, cl = ray.get(cref)
+        a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {"new_id": pa.array([], type=pa.int64()),
+                 "cluster_id": pa.array([], type=pa.int64())}
+            )
         pos, found = lookup_sorted(ids_s, b)
         out = np.where(found, cl[pos], b)  # stored doc absent from
         # clusters artifact (shouldn't happen) -> fall back to its own id
+        # partial per-batch min (combiner): one row per new_id per batch
+        order = np.lexsort((out, a))
+        a_s, o_s = a[order], out[order]
+        change = np.empty(len(a_s), dtype=bool)
+        change[0] = True
+        np.not_equal(a_s[1:], a_s[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
         return pa.table(
             {
-                "new_id": t["a"].cast(pa.int64()),
-                "cluster_id": pa.array(out, type=pa.int64()),
+                "new_id": pa.array(a_s[starts], type=pa.int64()),
+                "cluster_id": pa.array(
+                    np.minimum.reduceat(o_s, starts), type=pa.int64()
+                ),
             }
         )
 
