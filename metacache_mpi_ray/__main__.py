@@ -1,0 +1,183 @@
+"""CLI — the analog of the reference's mode dispatch
+(/root/reference/src/main.cpp + mode_build/mode_query/mode_merge/
+mode_info): a user of `metacache build|query|merge|info` drives the
+same operations here as
+
+    python -m metacache_mpi_ray build  --pages DIR --index ROOT
+    python -m metacache_mpi_ray query  --index ROOT --pages DIR --out DIR
+    python -m metacache_mpi_ray dedup  --pages DIR --out DIR
+    python -m metacache_mpi_ray merge  --edges DIR [--edges DIR ...] --pages DIR --out DIR
+    python -m metacache_mpi_ray info   --index ROOT
+
+The CLI owns the Ray session (guarded init; library code never calls
+ray.init — the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _cfg_from_args(args) -> "DedupConfig":
+    from metacache_mpi_ray.config import DedupConfig
+
+    kw = {}
+    for f in ("shingle_k", "n_perms", "n_bands", "bucket_cap"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    if getattr(args, "sim_threshold", None) is not None:
+        kw["sim_threshold"] = args.sim_threshold
+    return DedupConfig(**kw)
+
+
+def _read_pages(pages: str, *, canonicalize_urls: bool):
+    import ray.data as rd
+
+    from metacache_mpi_ray.stages.ingest import ingest_pages
+
+    return ingest_pages(
+        rd.read_parquet(pages), canonicalize_urls=canonicalize_urls
+    )
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from metacache_mpi_ray.pipelines.incremental import build_index
+
+    docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
+    clusters = build_index(
+        docs, _cfg_from_args(args), args.index, num_partitions=args.num_partitions
+    )
+    print(json.dumps({"mode": "build", "index": args.index, "docs": clusters.count()}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ensure_ray()
+    from metacache_mpi_ray.pipelines.incremental import query_against_index
+
+    docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
+    out = query_against_index(docs, args.index, num_partitions=args.num_partitions)
+    out.write_parquet(args.out)
+    n = out.count()
+    print(json.dumps({"mode": "query", "out": args.out, "queried": n}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    _ensure_ray()
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+
+    docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
+    res = near_dup_pipeline(
+        docs, _cfg_from_args(args), num_partitions=args.num_partitions
+    )
+    res.clusters.write_parquet(args.out)
+    print(json.dumps({"mode": "dedup", "out": args.out, "docs": res.clusters.count()}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from metacache_mpi_ray.pipelines.merge import merge_cluster_runs
+
+    docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
+    edge_sets = [rd.read_parquet(e) for e in args.edges]
+    merged = merge_cluster_runs(docs, *edge_sets)
+    merged.write_parquet(args.out)
+    print(json.dumps({"mode": "merge", "out": args.out, "docs": merged.count()}))
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Index statistics — the mode_info analog
+    (/root/reference/src/mode_info.cpp:288-345): config, artifact row
+    counts, band-bucket occupancy moments."""
+    _ensure_ray()
+    from metacache_mpi_ray.pipelines.incremental import _read_stage, load_index_config
+    from metacache_mpi_ray.stages.candidates import bucket_stats
+    from metacache_mpi_ray.stages.stats import grouped_moments
+
+    cfg = load_index_config(args.index)
+    out = {"mode": "info", "index": args.index, "config": json.loads(cfg.to_json())}
+    for stage in ("signatures", "clusters", "verified", "bands"):
+        try:
+            out[f"rows_{stage}"] = _read_stage(args.index, stage).count()
+        except FileNotFoundError:
+            out[f"rows_{stage}"] = None
+    try:
+        bands = _read_stage(args.index, "bands")
+        sizes = bucket_stats(bands, ["bkey"])
+        mom = grouped_moments(sizes, None, "bucket_size").to_pandas()
+        out["bucket_size_moments"] = {
+            k: (float(mom[k][0]) if k != "n" else int(mom[k][0]))
+            for k in ("n", "mean", "variance", "skewness")
+        }
+    except FileNotFoundError:
+        out["bucket_size_moments"] = None
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="metacache_mpi_ray")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    def common(sp, pages=True):
+        if pages:
+            sp.add_argument("--pages", required=True, help="pages parquet file/dir")
+        sp.add_argument("--num-partitions", type=int, default=16, dest="num_partitions")
+        sp.add_argument(
+            "--canonicalize-urls", action="store_true", dest="canonicalize_urls"
+        )
+        for f in ("shingle_k", "n_perms", "n_bands", "bucket_cap"):
+            sp.add_argument(f"--{f.replace('_','-')}", type=int, default=None, dest=f)
+        sp.add_argument("--sim-threshold", type=float, default=None, dest="sim_threshold")
+
+    sp = sub.add_parser("build", help="build a persisted dedup index")
+    common(sp)
+    sp.add_argument("--index", required=True)
+    sp.set_defaults(fn=cmd_build)
+
+    sp = sub.add_parser("query", help="query new pages against an index")
+    common(sp)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("dedup", help="one-shot near-dup clustering")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("merge", help="merge verified-edge sets, re-cluster")
+    common(sp)
+    sp.add_argument("--edges", action="append", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("info", help="index statistics")
+    sp.add_argument("--index", required=True)
+    sp.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,10 +75,16 @@ def normalize_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Chunk
     return pc.utf8_trim_whitespace(x)
 
 
+_WS_ASCII = re.compile(r"[ \t\r\n\f]+")  # RE2 \s = [\t\n\f\r ], NO \v
+
+
 def normalize_text_py(s: str) -> str:
     """Reference implementation of norm-v1 for oracles/tests (must agree
-    byte-for-byte with normalize_text_arrow)."""
-    return re.sub(r"\s+", " ", s.lower()).strip()
+    byte-for-byte with normalize_text_arrow). The whitespace class is
+    the ASCII set RE2's \\s matches — Python's Unicode \\s would
+    additionally collapse U+0085/U+00A0 etc. and diverge from the Arrow
+    kernel and the DuckDB oracles (found by hypothesis)."""
+    return _WS_ASCII.sub(" ", s.lower()).strip()
 
 
 def resolve_text_batch(batch: pa.Table) -> pa.Table:

@@ -39,7 +39,7 @@ def near_dup_pipeline(
     include_substring: bool = False,
     dedupe_pairs: bool = False,
     cluster_method: str = "auto",
-    broadcast_edge_limit: int = 2_000_000,
+    cluster_driver_edge_limit: int = 50_000_000,
 ) -> DedupResult:
     """Run the full MinHash/LSH dedup over a canonical ``docs`` dataset.
 
@@ -71,16 +71,13 @@ def near_dup_pipeline(
         if dedupe_pairs
         else raw_edges
     )
-    # auto strategy from the already-materialized edge count (free
-    # metadata — bucket_edges returns a MaterializedDataset): broadcast
-    # the dup-subset signatures while the edge list is small, switch to
-    # the two-hash-join path when the dup subset would outgrow one
-    # object (web-scale dup rates of 30-50% make broadcast a
-    # driver-memory scale-killer)
-    n_edges = edges.count()
-    verify_strategy = "broadcast" if n_edges <= broadcast_edge_limit else "join"
+    # auto strategy: verify_edges sizes the actual broadcast payload
+    # (distinct edge endpoints x signature width) and falls back to the
+    # two-hash-join path only when the dup subset outgrows one object —
+    # at web-scale dup rates the broadcast would otherwise become a
+    # driver-memory scale-killer
     verified = verify_edges(
-        edges, sigs, cfg, num_partitions=num_partitions, strategy=verify_strategy
+        edges, sigs, cfg, num_partitions=num_partitions, strategy="auto"
     ).materialize()
     if include_substring:
         # exact long-match substring edges (suffix/anchor stage, F6
@@ -116,9 +113,14 @@ def near_dup_pipeline(
     # "distributed" = min-label propagation + hash join (the scale path
     # when the dup subset outgrows one process); "auto" picks by the
     # materialized verified-edge count.
+    # the driver DSU streams the edge list once (vectorized pointer
+    # jumping, ~16 bytes/edge resident) — switch to distributed
+    # min-label propagation only when even that outgrows one process
     if cluster_method == "auto":
         cluster_method = (
-            "driver" if verified.count() <= broadcast_edge_limit else "distributed"
+            "driver"
+            if verified.count() <= cluster_driver_edge_limit
+            else "distributed"
         )
     if cluster_method == "distributed":
         from metacache_mpi_ray.stages.cluster import assign_clusters_distributed

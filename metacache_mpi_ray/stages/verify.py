@@ -88,23 +88,30 @@ def verify_edges(
     num_partitions: int = 32,
     *,
     strategy: str = "auto",
-    broadcast_limit: int = 2_000_000,
+    broadcast_bytes_limit: int = 2 << 30,
 ):
     """edges(a, b, ...) x signatures(doc_id, sig) -> (a, b, est_sim) for
-    pairs whose estimated Jaccard clears the verification threshold."""
+    pairs whose estimated Jaccard clears the verification threshold.
+
+    ``auto`` decides by the actual broadcast payload — the dup-subset
+    signature matrix (#distinct endpoints x n_perms x 8 bytes) — not by
+    raw edge count: edges over-count the subset by the per-pair band
+    multiplicity, and the join fallback costs two full hash shuffles of
+    the signature table, so it should engage only when the subset
+    genuinely can't ride in one broadcast object."""
     if strategy == "auto":
-        try:
-            n_edges = edges.count()
-        except Exception:
-            n_edges = broadcast_limit + 1
-        strategy = "broadcast" if n_edges <= broadcast_limit else "join"
+        wanted = _edge_doc_ids(edges)
+        if len(wanted) * cfg.n_perms * 8 <= broadcast_bytes_limit:
+            return _verify_broadcast(edges, signatures, cfg, wanted=wanted)
+        return _verify_join(edges, signatures, cfg, num_partitions)
     if strategy == "broadcast":
         return _verify_broadcast(edges, signatures, cfg)
     return _verify_join(edges, signatures, cfg, num_partitions)
 
 
-def _verify_broadcast(edges, signatures, cfg: DedupConfig):
-    wanted = _edge_doc_ids(edges)
+def _verify_broadcast(edges, signatures, cfg: DedupConfig, wanted=None):
+    if wanted is None:
+        wanted = _edge_doc_ids(edges)
     ids_sorted, sig_mat = _collect_sig_subset(signatures, wanted, cfg.n_perms)
     lookup_ref = ray.put((ids_sorted, sig_mat))
     thresh = cfg.verify_threshold

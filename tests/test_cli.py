@@ -1,0 +1,59 @@
+"""CLI mode dispatch (main.cpp / mode_* analog): build -> info ->
+query -> dedup -> merge driven through the argparse surface in-process
+(Ray session shared with the pytest fixture; _ensure_ray is guarded)."""
+
+import json
+
+import pyarrow.parquet as pq
+
+
+def test_cli_build_query_info_dedup_merge(tmp_path, corpus_dir, capsys):
+    from metacache_mpi_ray.__main__ import main
+
+    idx = str(tmp_path / "index")
+    out_q = str(tmp_path / "qout")
+    out_d = str(tmp_path / "dout")
+    out_m = str(tmp_path / "mout")
+    pages = f"{corpus_dir}/pages"
+
+    assert main(["build", "--pages", pages, "--index", idx, "--num-partitions", "4"]) == 0
+    built = json.loads(capsys.readouterr().out.strip())
+    assert built["docs"] == 500
+
+    assert main(["info", "--index", idx]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["rows_signatures"] == 500
+    assert info["rows_clusters"] == 500
+    assert info["bucket_size_moments"]["n"] > 0
+    assert info["config"]["n_perms"] == 128
+
+    assert (
+        main(
+            ["query", "--pages", pages, "--index", idx, "--out", out_q,
+             "--num-partitions", "4"]
+        )
+        == 0
+    )
+    q = pq.read_table(out_q)
+    assert q.num_rows == 500
+    # querying the index corpus against itself: every doc matches
+    assert all(q["matched"].to_pylist())
+
+    assert (
+        main(["dedup", "--pages", pages, "--out", out_d, "--num-partitions", "4"]) == 0
+    )
+    d = pq.read_table(out_d)
+    assert d.num_rows == 500
+    assert {"doc_id", "cluster_id", "is_dup"} <= set(d.column_names)
+
+    # merge the build's verified edges with themselves -> same clusters
+    assert (
+        main(
+            ["merge", "--edges", f"{idx}/verified", "--edges", f"{idx}/verified",
+             "--pages", pages, "--out", out_m, "--num-partitions", "4"]
+        )
+        == 0
+    )
+    m = pq.read_table(out_m).to_pandas().sort_values("doc_id")
+    dd = d.to_pandas().sort_values("doc_id")
+    assert (m["cluster_id"].values == dd["cluster_id"].values).all()
