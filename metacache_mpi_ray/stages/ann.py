@@ -152,7 +152,19 @@ def ivf_topk(
     nearest cells per query — the scale path where brute force over the
     full table is too expensive. Bounded recall by construction.
     """
-    samp = embeddings.limit(train_sample).to_pandas()
+    # deterministic hash-spread training sample: limit() alone would
+    # train the quantizer on the first block(s) only, biasing centroids
+    # toward whatever the leading files contain
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (splitmix64(ids.view(U64) ^ U64(seed)) & U64(7)) == 0
+        return t.filter(pa.array(keep))
+
+    samp = embeddings.map_batches(hash_sample, batch_format="pyarrow").limit(
+        train_sample
+    ).to_pandas()
+    if len(samp) == 0:
+        samp = embeddings.limit(train_sample).to_pandas()
     smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in samp["embedding"]]))
     cent = _kmeans(smat, n_cells, seed)
     cent = _normalize(cent)

@@ -22,16 +22,36 @@ from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
 
 
 def simhash_from_shingles(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Core kernel: per-doc shingle stream -> (n,) u64 simhash."""
+    """Core kernel: per-doc shingle stream -> (n,) u64 simhash.
+
+    One unpackbits to an (M, 64) bit matrix + ONE axis-0 reduceat votes
+    all 64 bits simultaneously (the round-1 version ran 64 separate
+    shift+reduceat passes over the hash stream). bitorder='little'
+    makes column k exactly bit k of the little-endian u64, so packbits
+    reassembles the identical signature values."""
+    n = len(offsets) - 1
+    if n == 0 or len(hashes) == 0:
+        return np.zeros(n, dtype=U64)
+    starts = offsets[:-1]
+    counts = np.diff(offsets)[:, None]
+    bits = np.unpackbits(
+        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    # accumulate in int64 without materializing an int64 bit matrix
+    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    votes = (2 * ones) > counts
+    return np.packbits(votes, axis=1, bitorder="little").view(U64).reshape(-1)
+
+
+def _simhash_from_shingles_ref(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Round-1 reference kernel (64 shift+reduceat passes) kept for the
+    value-parity test — signatures must stay bit-identical."""
     n = len(offsets) - 1
     out = np.zeros(n, dtype=U64)
     if n == 0 or len(hashes) == 0:
         return out
     starts = offsets[:-1]
     counts = np.diff(offsets)
-    # per bit: ones = sum of that bit over the doc's shingles; the vote
-    # sum is 2*ones - count, positive iff 2*ones > count. One vectorized
-    # reduceat pass per bit keeps memory at O(M), not O(M*64).
     for j in range(64):
         ones = np.add.reduceat(((hashes >> U64(j)) & U64(1)).astype(np.int64), starts)
         out |= ((2 * ones > counts).astype(U64) << U64(j))

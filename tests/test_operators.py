@@ -183,3 +183,27 @@ def test_fingerprint_stable_and_distinct():
     out = fingerprint_batch(batch)
     fp = out["fingerprint"].to_pylist()
     assert fp[0] == fp[1] != fp[2]
+
+
+def test_simhash_kernel_parity_with_reference_impl():
+    """The bit-matrix simhash kernel must produce bit-identical
+    signatures to the round-1 per-bit reference kernel."""
+    import numpy as np
+
+    from metacache_mpi_ray.stages.simhash import (
+        _simhash_from_shingles_ref,
+        simhash_from_shingles,
+    )
+
+    rng = np.random.default_rng(12)
+    for _ in range(5):
+        n_docs = int(rng.integers(1, 40))
+        counts = rng.integers(1, 400, size=n_docs)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        hashes = rng.integers(0, 2**63, size=offsets[-1]).astype(np.uint64)
+        a = simhash_from_shingles(hashes, offsets)
+        b = _simhash_from_shingles_ref(hashes, offsets)
+        assert (a == b).all()
+    # empty inputs
+    e = simhash_from_shingles(np.empty(0, np.uint64), np.zeros(1, np.int64))
+    assert len(e) == 0
