@@ -170,6 +170,45 @@ def q_events_window_agg(sf_dir: str):
     )
 
 
+def q_events_hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time windows: 1h windows every 30min —
+    each event counts in 2 windows (vectorized 1->k expansion + one
+    groupby; no per-key state)."""
+    from metacache_mpi_ray.stages.windows import hopping_window_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.int64())
+        )
+
+    out = hopping_window_agg(
+        ds.map_batches(to_epoch, batch_format="pyarrow"),
+        "user_id", "ts", 3600_000_000, 1800_000_000,
+        [Count(alias_name="n_events")],
+    )
+    return out.select_columns(["user_id", "window_id", "n_events"])
+
+
+def q_sources_per_length(sf_dir: str):
+    """Grouped exact distinct count (the D4 census primitive as its own
+    operator): number of distinct sources per document length."""
+    ds = _documents(sf_dir, columns=["n_chars", "source"])
+    pairs = ds.groupby(["n_chars", "source"]).aggregate(Count(alias_name="__n"))
+    return pairs.groupby("n_chars").aggregate(Count(alias_name="n_sources"))
+
+
+def q_chars_median_by_lang(sf_dir: str):
+    """Exact per-group discrete median via the sort+segment machinery
+    (Ray Data has no quantile aggregate; DuckDB quantile_disc is the
+    oracle)."""
+    from metacache_mpi_ray.stages.windows import quantile_per_group
+
+    ds = _documents(sf_dir, columns=["lang", "n_chars"])
+    return quantile_per_group(ds, "lang", "n_chars", 0.5)
+
+
 def q_doc_fingerprints(sf_dir: str):
     ds = _documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
@@ -941,6 +980,9 @@ QUERIES = {
     "token_count_stats": q_token_count_stats,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "events_window_agg": q_events_window_agg,
+    "events_hopping_window": q_events_hopping_window,
+    "sources_per_length": q_sources_per_length,
+    "chars_median_by_lang": q_chars_median_by_lang,
     "doc_fingerprints": q_doc_fingerprints,
     "orders_customer_join": q_orders_customer_join,
     "lineitem_orders_join": q_lineitem_orders_join,
@@ -1075,6 +1117,21 @@ ORACLE_SQL = {
         "count(*) AS n_events, min(event_id) AS first_event, "
         "max(event_id) AS last_event "
         "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"
+    ),
+    "events_hopping_window": (
+        "WITH c AS (SELECT user_id, epoch_us(ts) // 1800000000 AS w0 FROM events), "
+        "e AS (SELECT user_id, w0 AS window_id FROM c "
+        "  UNION ALL SELECT user_id, w0 - 1 AS window_id FROM c) "
+        "SELECT user_id, window_id, count(*) AS n_events "
+        "FROM e GROUP BY user_id, window_id"
+    ),
+    "sources_per_length": (
+        "SELECT n_chars, count(DISTINCT source) AS n_sources "
+        "FROM documents GROUP BY n_chars"
+    ),
+    "chars_median_by_lang": (
+        "SELECT lang, quantile_disc(n_chars, 0.5) AS quantile "
+        "FROM documents GROUP BY lang"
     ),
     "orders_customer_join": (
         "SELECT o_orderkey, c_name, c_mktsegment FROM orders "

@@ -322,6 +322,117 @@ def collect_members(ds, key_col: str, id_col: str):
     return final
 
 
+def hopping_window_agg(
+    ds, group_col: str, ts_col: str, width_us: int, slide_us: int, aggs: list
+):
+    """Hopping (sliding) event-time windows: window w covers
+    [w*slide, w*slide + width); each event lands in width/slide windows
+    (a vectorized 1->k row expansion), then one key+window groupby —
+    same no-per-key-state shape as the tumbling form."""
+    assert width_us % slide_us == 0, "width must be a multiple of slide"
+    k = width_us // slide_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        w0 = ts // slide_us
+        wins = np.repeat(w0, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        cols = {}
+        for c in t.column_names:
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            idx = np.repeat(np.arange(n, dtype=np.int64), k)
+            cols[c] = arr.take(pa.array(idx))
+        cols["window_id"] = pa.array(wins, type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby([group_col, "window_id"])
+        .aggregate(*aggs)
+    )
+
+
+def quantile_per_group(ds, group_col: str, value_col: str, q: float):
+    """Exact per-group discrete quantile (the value at index
+    floor(q*(m-1)) of the sorted group — DuckDB quantile_disc
+    semantics): global sort + vectorized per-batch segment pick;
+    boundary-straddling groups route their fragment VALUES to the tiny
+    driver stitch (quantiles can't be pruned like top-k, so fragments
+    carry the one value column only)."""
+    assert 0.0 <= q <= 1.0
+    sorted_ds = ds.select_columns([group_col, value_col]).sort(
+        [group_col, value_col]
+    ).materialize()
+    sch = sorted_ds.schema()
+    gtype = sch.types[sch.names.index(group_col)]
+    vtype = sch.types[sch.names.index(value_col)]
+    out_cols = [group_col, "quantile"]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {group_col: pa.array([], gtype),
+                 "quantile": pa.array([], vtype),
+                 "__frag": pa.array([], pa.bool_())}
+            )
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        starts, sizes = _segments(keys)
+        nseg = len(starts)
+        interior = np.ones(nseg, dtype=bool)
+        interior[0] = False
+        interior[-1] = False
+        vals = t[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        # interior groups: one picked row each
+        pick_idx = (
+            starts[interior]
+            + np.floor(q * (sizes[interior] - 1)).astype(np.int64)
+        )
+        g_int = pa.array(keys[starts[interior]], gtype)
+        v_int = vals.take(pa.array(pick_idx))
+        # edge groups: every value rides to the stitch
+        edge_rows = np.zeros(len(keys), dtype=bool)
+        edge_rows[: starts[1] if nseg > 1 else n] = True
+        edge_rows[starts[-1] :] = True
+        sel = np.flatnonzero(edge_rows)
+        g_edge = pa.array(keys[sel], gtype)
+        v_edge = vals.take(pa.array(sel))
+        return pa.table(
+            {
+                group_col: pa.concat_arrays([g_int, g_edge]),
+                "quantile": pa.concat_arrays(
+                    [v_int.combine_chunks() if isinstance(v_int, pa.ChunkedArray) else v_int,
+                     v_edge.combine_chunks() if isinstance(v_edge, pa.ChunkedArray) else v_edge]
+                ),
+                "__frag": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(interior.sum()), dtype=bool),
+                         np.ones(len(sel), dtype=bool)]
+                    ),
+                    type=pa.bool_(),
+                ),
+            }
+        )
+
+    final, frags = _split_frag(
+        sorted_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None),
+        out_cols,
+    )
+    if len(frags):
+        f = frags.sort_values([group_col, "quantile"], kind="mergesort")
+        agg = (
+            f.groupby(group_col, sort=False)["quantile"]
+            .apply(lambda s: s.iloc[int(np.floor(q * (len(s) - 1)))])
+            .reset_index()
+        )
+        final = final.union(rd.from_pandas(agg[out_cols]))
+    return final
+
+
 def tumbling_window_agg(ds, group_col: str, ts_col: str, width_us: int, aggs: list):
     """Tumbling event-time windows via key+bucket groupby (the scalable
     form: no per-key state, one shuffle)."""

@@ -122,3 +122,44 @@ def test_collect_members_stress_matches_pandas():
     assert (got["u"].values == exp["u"].values).all()
     assert (got["rep_id"].values == exp["rep_id"].values).all()
     assert list(got["members"]) == list(exp["members"])
+
+
+def test_quantile_stress_matches_pandas():
+    from metacache_mpi_ray.stages.windows import quantile_per_group
+
+    df, ds = _events()
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = (
+            quantile_per_group(ds, "u", "ts", q)
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["u", "ts"])
+            .groupby("u")["ts"]
+            .apply(lambda s: s.iloc[int(np.floor(q * (len(s) - 1)))])
+            .reset_index(name="quantile")
+        )
+        assert (got["u"].values == exp["u"].values).all()
+        assert (got["quantile"].values == exp["quantile"].values).all(), q
+
+
+def test_hopping_window_agg_counts():
+    from ray.data.aggregate import Count
+
+    from metacache_mpi_ray.stages.windows import hopping_window_agg
+
+    df, ds = _events(n_rows=3000, n_users=10)
+    out = (
+        hopping_window_agg(ds, "u", "ts", 4000, 1000, [Count(alias_name="n")])
+        .to_pandas()
+    )
+    # every event counted in exactly width/slide = 4 windows
+    assert out["n"].sum() == 4 * len(df)
+    # spot-check one (user, window) cell against brute force
+    row = out.iloc[0]
+    w, u = int(row["window_id"]), row["u"]
+    lo, hi = w * 1000, w * 1000 + 4000
+    brute = ((df["u"] == u) & (df["ts"] >= lo) & (df["ts"] < hi)).sum()
+    assert int(row["n"]) == brute
