@@ -110,6 +110,15 @@ def q_token_counts(sf_dir: str):
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Subword-granularity token counting (the BPE-ish regex counter —
+    training-data budgeting needs token counts, not word counts)."""
+    from metacache_mpi_ray.stages.textstats import bpe_token_count_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def q_quality_scores(sf_dir: str):
     ds = _documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
@@ -976,6 +985,7 @@ QUERIES = {
     "source_length_stats": q_source_length_stats,
     "top_docs_by_length": q_top_docs_by_length,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     "quality_scores": q_quality_scores,
     "token_count_stats": q_token_count_stats,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -1092,6 +1102,11 @@ ORACLE_SQL = {
     "token_counts": (
         "SELECT doc_id, array_length(regexp_split_to_array(trim(text), '\\s+')) "
         "AS n_tokens FROM documents"
+    ),
+    "bpe_token_counts": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"
     ),
     "quality_scores": (
         "SELECT doc_id, length(text) AS n_chars_text, "

@@ -31,12 +31,26 @@ from metacache_mpi_ray.functions.hashing import U64, splitmix64
 from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
 
 
-def anchor_rows(cfg: DedupConfig):
-    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64) rows.
+def host_of_url_arrow(col):
+    """Vectorized url -> host (authority); rows without a scheme fall
+    back to the whole string (the documents-table adapter uses doc_id
+    strings as urls)."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(col, pattern=r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[^/?#]+)")
+    host = pc.struct_field(ex, "h")
+    return pc.if_else(pc.is_valid(host), host, col)
+
+
+def anchor_rows(cfg: DedupConfig, *, include_host: bool = False):
+    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64[, host])
+    rows.
 
     Fully vectorized over the batch: one shingle pass (width anchor_len)
     straight from the Arrow string buffer, winnowing-style selection
-    (hash % anchor_mod == 0), then per-doc dedup via lexsort."""
+    (hash % anchor_mod == 0), then per-doc dedup via lexsort.
+    ``include_host`` adds the doc's url host per row for the D4
+    ambiguity filter (boilerplate spans shared across many hosts)."""
     from metacache_mpi_ray.functions.hashing import (
         arrow_string_buffer,
         shingle_hashes_from_buffer,
@@ -49,44 +63,69 @@ def anchor_rows(cfg: DedupConfig):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         lens = ends - starts
         long_enough = lens >= L
-        empty = pa.table(
-            {"anchor_hash": pa.array([], type=pa.int64()),
-             "doc_id": pa.array([], type=pa.int64())}
-        )
+        cols = {"anchor_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64())}
+        if include_host:
+            cols["host"] = pa.array([], type=pa.string())
+        empty = pa.table(cols)
         if not long_enough.any():
             return empty
         h, offsets = shingle_hashes_from_buffer(
             data, starts[long_enough], ends[long_enough], L, cfg.seed + 1
         )
-        doc_of = np.repeat(
-            ids[long_enough], np.diff(offsets)
-        )
+        row_idx = np.flatnonzero(long_enough)
+        src_row = np.repeat(row_idx, np.diff(offsets))
+        doc_of = ids[src_row]
         sel = h % U64(mod) == 0
         if not sel.any():
             return empty
-        hs, ds = h[sel], doc_of[sel]
+        hs, ds, rows_sel = h[sel], doc_of[sel], src_row[sel]
         # dedup (doc, hash) pairs: lexsort + adjacent-compare
         order = np.lexsort((hs, ds))
-        hs, ds = hs[order], ds[order]
+        hs, ds, rows_sel = hs[order], ds[order], rows_sel[order]
         keep = np.empty(len(hs), dtype=bool)
         keep[0] = True
         keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
         hh = (hs[keep] >> np.uint64(1)).astype(np.int64)
-        return pa.table(
-            {"anchor_hash": pa.array(hh), "doc_id": pa.array(ds[keep], type=pa.int64())}
-        )
+        out = {
+            "anchor_hash": pa.array(hh),
+            "doc_id": pa.array(ds[keep], type=pa.int64()),
+        }
+        if include_host:
+            hosts = host_of_url_arrow(batch["url"])
+            if isinstance(hosts, pa.ChunkedArray):
+                hosts = hosts.combine_chunks()
+            out["host"] = hosts.take(pa.array(rows_sel[keep]))
+        return pa.table(out)
 
     return emit
 
 
-def anchor_candidates(docs, cfg: DedupConfig | None = None, *, num_partitions: int = 16):
+def anchor_candidates(
+    docs,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int = 16,
+    max_hosts: int | None = None,
+):
     """docs -> (a, b, n_bands_hit) edges of docs sharing >=1 exact anchor.
 
     ``n_bands_hit`` here counts shared sampled anchors — a proxy for
     shared-span length (each anchor covers anchor_len chars, sampled at
-    ~1/anchor_mod density)."""
+    ~1/anchor_mod density). ``max_hosts`` engages the D4 ambiguity
+    filter: anchors appearing on more than that many distinct url hosts
+    are boilerplate (navigation, footers) and are removed BEFORE the
+    bucket shuffle, mirroring sketch_database.h:428-470."""
     cfg = cfg or DedupConfig()
-    rows = docs.map_batches(anchor_rows(cfg), batch_format="pyarrow")
+    rows = docs.map_batches(
+        anchor_rows(cfg, include_host=max_hosts is not None),
+        batch_format="pyarrow",
+    )
+    if max_hosts is not None:
+        from metacache_mpi_ray.stages.candidates import ambiguity_filter
+
+        rows = ambiguity_filter(rows, "anchor_hash", "host", max_hosts)
+        rows = rows.select_columns(["anchor_hash", "doc_id"])
     edges = bucket_edges(
         rows, key_cols=["anchor_hash"], id_col="doc_id",
         cap=cfg.bucket_cap, num_partitions=num_partitions,

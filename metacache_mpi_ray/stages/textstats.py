@@ -41,6 +41,26 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# subword-style pretokenizer: letter runs, single digits, single
+# non-alphanumeric marks — the RE2-expressible core of a BPE
+# pretokenization (GPT-2's exact pattern needs lookaheads RE2 lacks);
+# token counts at this granularity track BPE token counts closely on
+# ASCII-ish web text
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens — count of BPE-ish pretokenizer matches,
+    one vectorized count_substring_regex kernel per batch."""
+    n = pc.count_substring_regex(batch["text"], pattern=BPE_ISH_PATTERN)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": n.cast(pa.int64()),
+        }
+    )
+
+
 def quality_score_batch(batch: pa.Table) -> pa.Table:
     """Per-doc quality signals: length, token count, stopword matches,
     mean token length. All integer/exact so a SQL oracle can reproduce

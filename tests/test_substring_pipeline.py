@@ -161,3 +161,50 @@ def test_scored_substring_edges_estimates_shared_span():
     # beyond one max_gap bridge
     assert exact >= CFG.min_match_len
     assert 0.6 * exact <= est <= 1.3 * exact
+
+
+def test_anchor_ambiguity_filter_drops_cross_host_boilerplate():
+    """D4 wired into the substring pipeline: a footer shared across
+    many hosts must not produce candidate edges, while a genuine long
+    match within one host still does."""
+    from metacache_mpi_ray.stages.ingest import ingest_pages
+    from metacache_mpi_ray.stages.substring import anchor_candidates
+
+    rng = np.random.default_rng(21)
+    words = [f"w{i}" for i in range(400)]
+
+    def mk(n):
+        return " ".join(words[int(rng.integers(0, 400))] for _ in range(n))
+
+    footer = mk(60)          # boilerplate on every host
+    shared = mk(120)         # genuine shared span, one host only
+    pages = []
+    for h in range(6):
+        for p in range(2):
+            body = mk(100)
+            extra = (" " + shared) if (h == 0) else ""
+            pages.append(
+                (f"https://host{h}.example/p{p}", body + extra + " " + footer)
+            )
+    tab = pa.table(
+        {
+            "url": pa.array([u for u, _ in pages]),
+            "html": pa.array([None] * len(pages), type=pa.binary()),
+            "text": pa.array([t for _, t in pages], type=pa.string()),
+        }
+    )
+    docs = ingest_pages(rd.from_arrow(tab)).materialize()
+    loose = anchor_candidates(docs, CFG, num_partitions=4).to_pandas()
+    strict = anchor_candidates(docs, CFG, num_partitions=4, max_hosts=3).to_pandas()
+    # without the filter the footer connects docs across hosts
+    assert len(loose) > len(strict)
+    # the genuine pair on host0 (sharing `shared`) survives the filter
+    ids = docs.to_pandas().set_index("url")["doc_id"]
+    a, b = sorted([ids["https://host0.example/p0"], ids["https://host0.example/p1"]])
+    assert ((strict["a"] == a) & (strict["b"] == b)).any()
+    # and no strict edge links docs of different hosts
+    host_of = {
+        r["doc_id"]: r["url"].split("/")[2]
+        for _, r in docs.to_pandas().iterrows()
+    }
+    assert all(host_of[r["a"]] == host_of[r["b"]] for _, r in strict.iterrows())
