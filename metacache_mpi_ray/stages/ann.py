@@ -219,7 +219,7 @@ def embedding_near_dup(
     verified by exact cosine via a vectorized pairwise check after a
     signature join on the packed vectors.
     """
-    from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+    from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
 
     def emit_codes(batch: pa.Table) -> pa.Table:
         mat = _normalize(_emb_matrix(batch["embedding"]))
@@ -239,9 +239,10 @@ def embedding_near_dup(
         )
 
     codes = embeddings.map_batches(emit_codes, batch_format="pyarrow")
-    edges = bucket_edges(
-        codes, key_cols=["table_id", "code"], id_col="doc_id",
-        cap=cap, num_partitions=num_partitions,
+    # pair-LISTING semantics: all pairs per bucket (star edges would
+    # hide a qualifying pair behind the bucket's min id)
+    edges = bucket_all_pairs(
+        codes, key_cols=["table_id", "code"], id_col="doc_id", cap=cap
     )
     edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
 

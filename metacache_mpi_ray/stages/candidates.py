@@ -204,6 +204,119 @@ def bucket_edges(
     return edges.materialize()
 
 
+def bucket_all_pairs(
+    ds,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    cap: int = 256,
+):
+    """rows(key_cols..., id_col) -> ALL distinct pairs (a < b) per
+    bucket, capped at ``cap`` members (over-cap buckets dropped).
+
+    Star edges (bucket_edges) guarantee CONNECTIVITY for union-find at
+    |m|-1 edges per bucket; pair-LISTING operators (near-dup pair
+    reports, Hamming/ cosine verification surfaces) need every
+    qualifying pair: a bucket {x, v, w} with only (v, w) truly similar
+    would lose that pair behind the star center. Pairs per bucket are
+    O(m^2) but m <= cap. Buckets split across batch boundaries are
+    reassembled exactly: edge fragments ship their member lists (<= 2
+    per batch) to a tiny driver stitch that emits the cross-fragment
+    pairs; the downstream (a, b) dedupe collapses duplicates."""
+    keyed = ds.map_batches(
+        lambda t: _combine_keys(t, key_cols, id_col), batch_format="pyarrow"
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keys = batch["bkey"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        empty = {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "bridge_key": pa.array([], type=pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        nseg = len(starts)
+        out_a, out_b = [], []
+        for gi in np.flatnonzero((sizes > 1) & (sizes <= cap)).tolist():
+            grp = ids[starts[gi] : starts[gi] + sizes[gi]]
+            i, j = np.triu_indices(len(grp), 1)
+            ai, bj = grp[i], grp[j]
+            swap = ai > bj
+            out_a.append(np.where(swap, bj, ai))
+            out_b.append(np.where(swap, ai, bj))
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        # bridge rows: every member of the batch's first and last
+        # segment (potential split fragments), if the fragment is
+        # within cap
+        bridge_idx = [0] if nseg == 1 else [0, nseg - 1]
+        bk_list, bm_list = [], []
+        for gi in bridge_idx:
+            if sizes[gi] <= cap:
+                bm_list.append(ids[starts[gi] : starts[gi] + sizes[gi]])
+                bk_list.append(np.full(sizes[gi], keys[starts[gi]], dtype=np.int64))
+        bk = np.concatenate(bk_list) if bk_list else np.empty(0, dtype=np.int64)
+        bm = np.concatenate(bm_list) if bm_list else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bm]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b, bm]), type=pa.int64()),
+                "bridge_key": pa.array(
+                    np.concatenate([np.zeros(len(a), dtype=np.int64), bk]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    emitted = keyed.sort("bkey").map_batches(emit, batch_format="pyarrow").materialize()
+
+    def _split(want_bridge: bool, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            bkv = t["bridge_key"].to_numpy(zero_copy_only=False)
+            mask = (bkv != 0) if want_bridge else (bkv == 0)
+            return t.filter(pa.array(mask)).select(cols)
+
+        return f
+
+    edges = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
+    bridges = emitted.map_batches(
+        _split(True, ["a", "bridge_key"]), batch_format="pyarrow"
+    ).to_pandas()
+    if len(bridges):
+        extra_a, extra_b = [], []
+        for _, grp in bridges.groupby("bridge_key"):
+            members = np.unique(grp["a"].to_numpy(dtype=np.int64))
+            if len(members) < 2 or len(members) > cap:
+                continue
+            i, j = np.triu_indices(len(members), 1)
+            extra_a.append(members[i])
+            extra_b.append(members[j])
+        if extra_a:
+            extra_df = pd.DataFrame(
+                {
+                    "a": np.concatenate(extra_a),
+                    "b": np.concatenate(extra_b),
+                }
+            ).drop_duplicates()
+            # arrow block, matching the main edge stream (a pandas block
+            # in the union trips the downstream block-type assertion)
+            edges = edges.union(
+                ray.data.from_arrow(
+                    pa.Table.from_pandas(extra_df, preserve_index=False)
+                )
+            )
+    return edges.materialize()
+
+
 def dedupe_edges(edges, num_partitions: int = 32):
     """Collapse the same (a, b) edge found in multiple bands; keep the
     number of agreeing bands as a signal column ``n_bands_hit``."""

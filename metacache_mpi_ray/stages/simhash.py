@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.functions.hashing import U64, concat_shingle_hashes
-from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
 
 
 def simhash_from_shingles(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -137,9 +137,12 @@ def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int =
         concurrency=default_actor_concurrency(reserve=2), num_cpus=1,
     ).materialize()
     blocks = sims.map_batches(simhash_block_rows(cfg), batch_format="pyarrow")
-    edges = bucket_edges(
+    # pair-LISTING semantics: all pairs per pigeonhole bucket (a star
+    # edge set would miss (v, w) pairs hiding behind a dissimilar
+    # bucket-mate with a smaller id)
+    edges = bucket_all_pairs(
         blocks, key_cols=["block_id", "block_val"], id_col="doc_id",
-        cap=cfg.bucket_cap, num_partitions=num_partitions,
+        cap=cfg.bucket_cap,
     )
     edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
 
