@@ -207,3 +207,32 @@ def test_simhash_kernel_parity_with_reference_impl():
     # empty inputs
     e = simhash_from_shingles(np.empty(0, np.uint64), np.zeros(1, np.int64))
     assert len(e) == 0
+
+
+def test_bucket_all_pairs_reassembles_split_buckets():
+    """All-pairs enumeration must be exact even when one bucket spans
+    many blocks, and the cap must apply to the REASSEMBLED bucket."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
+
+    n = 60
+    tab = pa.table(
+        {
+            "k": pa.array([7] * n + [9, 9, 9], type=pa.int64()),
+            "doc_id": pa.array(list(range(n)) + [100, 101, 102], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(11)
+    pairs = dedupe_edges(
+        bucket_all_pairs(ds, ["k"], cap=256), num_partitions=4
+    ).to_pandas()
+    # bucket 7: C(60,2) pairs; bucket 9: C(3,2)
+    assert len(pairs) == n * (n - 1) // 2 + 3
+    assert (pairs["a"] < pairs["b"]).all()
+    # over-cap bucket drops entirely (no pairs from key 7 at cap 50)
+    few = dedupe_edges(
+        bucket_all_pairs(ds, ["k"], cap=50), num_partitions=4
+    ).to_pandas()
+    assert len(few) == 3
