@@ -70,7 +70,9 @@ def cmd_query(args) -> int:
     from metacache_mpi_ray.pipelines.incremental import query_against_index
 
     docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
-    out = query_against_index(docs, args.index, num_partitions=args.num_partitions)
+    out = query_against_index(
+        docs, args.index, num_partitions=args.num_partitions
+    ).materialize()  # one execution serves both the write and the count
     out.write_parquet(args.out)
     n = out.count()
     print(json.dumps({"mode": "query", "out": args.out, "queried": n}))

@@ -7,6 +7,8 @@ driver's compare hashes values under sorted column names).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -470,9 +472,12 @@ def q_query_vs_index(sf_dir: str):
             }
         )
 
-    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    src = f"{sf_dir}/documents.parquet"
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+    st = os.stat(src)  # content fingerprint: a regenerated file with the
+    # same row count must not silently reuse a stale index
     key = hashlib.sha1(
-        f"{sf_dir}|{n_rows}|{CFG.to_json()}|qidx-v1".encode()
+        f"{sf_dir}|{n_rows}|{st.st_mtime_ns}|{st.st_size}|{CFG.to_json()}|qidx-v1".encode()
     ).hexdigest()[:12]
     root = f"/tmp/metacache_qidx_{key}"
     a_docs = ingest_documents(ids_ds.map_batches(build_a, batch_format="pyarrow"))
@@ -938,8 +943,25 @@ def _half_prefix_corpus(sf_dir: str):
         sel = np.flatnonzero(ids % 4 == 0)
         if len(sel) == 0:
             return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": norm})
-        # half-prefix copies, gathered zero-copy from the Arrow buffer
-        lens2 = (ends[sel] - starts[sel]) // 2
+        # half-prefix copies, gathered zero-copy from the Arrow buffer.
+        # The split is computed in CHARACTERS (UTF-8 code points), not
+        # bytes, matching the DuckDB oracle's substr(text, 1,
+        # length(text)//2) semantics and never splitting a multi-byte
+        # character: char starts are the non-continuation bytes.
+        char_start = (data & 0xC0) != 0x80  # True at each code point's first byte
+        cs_idx = np.append(np.flatnonzero(char_start), len(data))  # sentinel
+        pos_s = np.searchsorted(cs_idx, starts[sel])
+        pos_e = np.searchsorted(cs_idx, ends[sel])
+        half_chars = (pos_e - pos_s) // 2
+        cut_pos = pos_s + half_chars
+        # byte offset of the cut: start of char #half_chars, or row end
+        # when the half consumes every char (0- or 1-char rows)
+        cut = np.where(
+            cut_pos < pos_e,
+            cs_idx[np.minimum(cut_pos, len(cs_idx) - 1)],
+            ends[sel],
+        ).astype(np.int64)
+        lens2 = cut - starts[sel]
         total = int(lens2.sum())
         seg0 = np.concatenate([[0], np.cumsum(lens2)[:-1]]).astype(np.int64)
         within = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens2)

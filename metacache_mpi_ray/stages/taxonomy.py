@@ -208,12 +208,28 @@ def redistribute_counts(
         .aggregate(Count(alias_name="cc"))
         .to_pandas()
     )
+    # empty Ray groupby results lose their schema on to_pandas(); a side
+    # with no rows (all-fine or all-coarse inputs are normal) must still
+    # carry the merge columns
+    if fine.empty:
+        fine = pd.DataFrame(columns=leaf_cols + ["n_direct"])
+    if coarse.empty:
+        coarse = pd.DataFrame(columns=coarse_cols + ["cc"])
     tot = fine.groupby(coarse_cols, as_index=False)["n_direct"].sum().rename(
         columns={"n_direct": "t"}
     )
     out = fine.merge(tot, on=coarse_cols, how="left").merge(
         coarse, on=coarse_cols, how="left"
     )
+    if fine.empty:
+        # no directly-classified rows: nothing to redistribute onto;
+        # empty result with an explicit Arrow schema (empty pandas
+        # blocks lose their columns in Ray)
+        schema = pa.schema(
+            [(c, pa.string()) for c in leaf_cols]
+            + [(c, pa.int64()) for c in ["n_direct", "est_num", "denom"]]
+        )
+        return rd.from_arrow(schema.empty_table())
     out["cc"] = out["cc"].fillna(0).astype("int64")
     out["est_num"] = out["n_direct"] * (out["t"] + out["cc"])
     out["denom"] = out["t"].astype("int64")

@@ -95,3 +95,22 @@ def test_pair_eval_counts():
     assert int(out["fn"][0]) == 1
     assert abs(out["precision"][0] - 0.25) < 1e-12
     assert abs(out["recall"][0] - 0.5) < 1e-12
+
+
+def test_redistribute_counts_empty_sides(ray_session):
+    """ADVICE r2: a side with no rows (all-fine or all-coarse input) must
+    not KeyError on the schema-less empty groupby result."""
+    all_fine = pd.DataFrame(
+        {"lang": ["en", "en", "fr"], "source": ["a", "b", "c"], "at_leaf": [1, 1, 1]}
+    )
+    out = redistribute_counts(rd.from_pandas(all_fine), ["lang", "source"]).to_pandas()
+    assert len(out) == 3
+    # no coarse mass: est_num/denom == n_direct exactly
+    assert (out["est_num"] == out["n_direct"] * out["denom"]).all()
+
+    all_coarse = pd.DataFrame(
+        {"lang": ["en", "fr"], "source": ["a", "b"], "at_leaf": [0, 0]}
+    )
+    out2 = redistribute_counts(rd.from_pandas(all_coarse), ["lang", "source"])
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"lang", "source", "n_direct", "est_num", "denom"}
