@@ -128,12 +128,129 @@ def _band_keys(sigs, cfg: DedupConfig, id_out: str):
     ).rename_columns({"doc_id": id_out})
 
 
+def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None):
+    """(bkey, id, side) rows -> (new x stored) candidate pairs (a=new,
+    b=stored) per band bucket: ONE ``sort("bkey")`` range shuffle, a
+    vectorized per-batch segment kernel, and the flagship's bridge-row
+    stitch (stages/candidates.py bucket_edges) so buckets split across
+    batch boundaries still meet across fragments — the round-2 version
+    probed per fragment, a systematic recall leak once the sorted stream
+    spans thousands of blocks.
+
+    Each batch emits its first and last bucket's members as side-tagged
+    bridge rows (<= 2 buckets/batch); any fragment of a split bucket is
+    necessarily one of those, so a tiny driver pass reassembles split
+    buckets and emits their full new x stored cross product (duplicates
+    of in-fragment pairs are fine — verification is idempotent and the
+    downstream aggregate is a min)."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = t["bkey"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "bridge_key": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        order = np.lexsort((side, keys))
+        keys, ids, side = keys[order], ids[order], side[order]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        nseg = len(starts)
+        # per bucket: stored rows sort first (side 0), new rows after
+        out_a, out_b = [], []
+        n_new_per = np.add.reduceat(side.astype(np.int64), starts)
+        mixed = (n_new_per > 0) & (n_new_per < sizes) & (sizes <= cap)
+        for s, z, nn in zip(
+            starts[mixed].tolist(), sizes[mixed].tolist(), n_new_per[mixed].tolist()
+        ):
+            stored = ids[s : s + z - nn]
+            new = ids[s + z - nn : s + z]
+            out_a.append(np.repeat(new, len(stored)))
+            out_b.append(np.tile(stored, nn))
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        # bridge rows: every member of the batch's first and last bucket
+        # (potential split fragments), side riding in column b
+        bridge_idx = [0] if nseg == 1 else [0, nseg - 1]
+        bk_l, bm_l, bs_l = [], [], []
+        for gi in bridge_idx:
+            if sizes[gi] <= cap:
+                sl = slice(starts[gi], starts[gi] + sizes[gi])
+                bm_l.append(ids[sl])
+                bs_l.append(side[sl].astype(np.int64))
+                bk_l.append(np.full(sizes[gi], keys[starts[gi]], dtype=np.int64))
+        bm = np.concatenate(bm_l) if bm_l else np.empty(0, dtype=np.int64)
+        bs = np.concatenate(bs_l) if bs_l else np.empty(0, dtype=np.int64)
+        bk = np.concatenate(bk_l) if bk_l else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bm]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b, bs]), type=pa.int64()),
+                "bridge_key": pa.array(
+                    np.concatenate([np.zeros(len(a), dtype=np.int64), bk]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    emitted = (
+        tagged.sort("bkey")
+        .map_batches(probe, batch_format="pyarrow", batch_size=probe_batch_size)
+        .materialize()
+    )
+
+    def _split(want_bridge: bool, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            bkv = t["bridge_key"].to_numpy(zero_copy_only=False)
+            mask = (bkv != 0) if want_bridge else (bkv == 0)
+            return t.filter(pa.array(mask)).select(cols)
+
+        return f
+
+    pairs = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
+    bridges = emitted.map_batches(
+        _split(True, ["a", "b", "bridge_key"]), batch_format="pyarrow"
+    ).to_pandas()
+    if len(bridges):
+        extra_a, extra_b = [], []
+        for _, grp in bridges.groupby("bridge_key"):
+            ids_g = grp["a"].to_numpy(dtype=np.int64)
+            side_g = grp["b"].to_numpy(dtype=np.int64)
+            if len(ids_g) > cap:
+                continue  # reassembled bucket overpopulated -> drop
+            new = ids_g[side_g == 1]
+            stored = ids_g[side_g == 0]
+            if len(new) and len(stored):
+                extra_a.append(np.repeat(new, len(stored)))
+                extra_b.append(np.tile(stored, len(new)))
+        if extra_a:
+            extra = pa.table(
+                {
+                    "a": pa.array(np.concatenate(extra_a), type=pa.int64()),
+                    "b": pa.array(np.concatenate(extra_b), type=pa.int64()),
+                }
+            )
+            pairs = pairs.union(rd.from_arrow(extra))
+    return pairs.materialize()
+
+
 def query_against_index(
     new_docs,
     ckpt_root: str,
     cfg: DedupConfig | None = None,
     *,
     num_partitions: int = 16,
+    probe_batch_size: int | None = None,
 ):
     """Stream a new batch of canonical docs against a persisted index.
 
@@ -170,8 +287,8 @@ def query_against_index(
     # sketch_database.h:398-417 — and (b) emits (new x stored) pairs per
     # surviving bucket. This replaces a census groupby + hash join
     # (2 shuffles over every band row) with a single range shuffle;
-    # buckets split across batch boundaries probe per fragment, the
-    # same recall-lenient fragment semantics as the LSH bucket stage.
+    # buckets split across batch boundaries are reassembled exactly by
+    # the bridge-row stitch in probe_tagged_bands.
     def tag(side: int, id_col: str):
         def f(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -189,52 +306,11 @@ def query_against_index(
     tagged = bands_idx.map_batches(tag(0, "idx_id"), batch_format="pyarrow").union(
         bands_new.map_batches(tag(1, "new_id"), batch_format="pyarrow")
     )
-    cap = cfg.bucket_cap
-
-    def probe(t: pa.Table) -> pa.Table:
-        keys = t["bkey"].to_numpy(zero_copy_only=False)
-        ids = t["id"].to_numpy(zero_copy_only=False)
-        side = t["side"].to_numpy(zero_copy_only=False)
-        n = len(keys)
-        empty = pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-        )
-        if n == 0:
-            return empty
-        order = np.lexsort((side, keys))
-        keys, ids, side = keys[order], ids[order], side[order]
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        np.not_equal(keys[1:], keys[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        sizes = np.diff(np.append(starts, n))
-        # per bucket: stored rows sort first (side 0), new rows after
-        out_a, out_b = [], []
-        n_new_per = np.add.reduceat(side.astype(np.int64), starts)
-        mixed = (n_new_per > 0) & (n_new_per < sizes) & (sizes <= cap)
-        for s, z, nn in zip(
-            starts[mixed].tolist(), sizes[mixed].tolist(), n_new_per[mixed].tolist()
-        ):
-            stored = ids[s : s + z - nn]
-            new = ids[s + z - nn : s + z]
-            out_a.append(np.repeat(new, len(stored)))
-            out_b.append(np.tile(stored, nn))
-        if not out_a:
-            return empty
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
-            }
-        )
-
     # pair dedup across bands is skipped, like the flagship: scoring is
     # vectorized and idempotent, so re-verifying a pair found by k bands
     # costs less than a (new_id, idx_id) shuffle
-    pairs = (
-        tagged.sort("bkey")
-        .map_batches(probe, batch_format="pyarrow")
-        .materialize()
+    pairs = probe_tagged_bands(
+        tagged, cfg.bucket_cap, probe_batch_size=probe_batch_size
     )
 
     sigs_all = sigs_new.select_columns(["doc_id", "sig"]).union(sigs_idx)

@@ -999,8 +999,29 @@ def q_substring_spans(sf_dir: str):
     return scored_substring_edges(docs, cfg, num_partitions=8)
 
 
+# Ordered so the flagship evidence chain runs FIRST: the driver records
+# queries in dict order, and round 2 lost its embedding_near_dup row to
+# an end-of-suite cutoff. If anything gets truncated now it is the cheap
+# scalar queries at the tail, not the headline dedup pipelines.
 QUERIES = {
+    # -- headline dedup / similarity pipelines (oracle-checked) --
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "minhash_clusters_planted": q_minhash_clusters_planted,
+    "query_vs_index": q_query_vs_index,
+    "dedup_eval_planted": q_dedup_eval_planted,
+    "merged_dedup_runs": q_merged_dedup_runs,
+    "cluster_lcs": q_cluster_lcs,
     "exact_dedup_groups": q_exact_dedup_groups,
+    "dedup_eval": q_dedup_eval,
+    # -- headline rows-only pipelines --
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "substring_candidates": q_substring_candidates,
+    "substring_spans": q_substring_spans,
+    "ivf_topk": q_ivf_topk,
+    "minhash_signatures": q_minhash_signatures,
+    # -- operator coverage (oracle-checked) --
     "distinct_docs": q_distinct_docs,
     "dup_size_histogram": q_dup_size_histogram,
     "lang_counts": q_lang_counts,
@@ -1032,26 +1053,12 @@ QUERIES = {
     "source_chars_moments": q_source_chars_moments,
     "index_bucket_moments": q_index_bucket_moments,
     "ranked_lca": q_ranked_lca,
-    "dedup_eval": q_dedup_eval,
-    "dedup_eval_planted": q_dedup_eval_planted,
-    # non-SQL (rows-only driver check):
+    # -- misc rows-only --
     "sample_docs": q_sample_docs,
     "band_bucket_census": q_band_bucket_census,
-    "cluster_lcs": q_cluster_lcs,
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
-    "ivf_topk": q_ivf_topk,
-    "merged_dedup_runs": q_merged_dedup_runs,
-    "minhash_clusters": q_minhash_clusters,
-    "minhash_clusters_planted": q_minhash_clusters_planted,
-    "query_vs_index": q_query_vs_index,
-    "minhash_signatures": q_minhash_signatures,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
     "lang_id": q_lang_id,
-    "substring_candidates": q_substring_candidates,
-    "substring_spans": q_substring_spans,
-    "ann_topk": q_ann_topk,
-    "embedding_near_dup": q_embedding_near_dup,
 }
 
 

@@ -211,6 +211,7 @@ def embedding_near_dup(
     seed: int = 7,
     cap: int = 512,
     num_partitions: int = 16,
+    verify_strategy: str = "auto",
 ):
     """Embedding-cosine near-duplicate pairs.
 
@@ -246,60 +247,30 @@ def embedding_near_dup(
     )
     edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
 
-    # exact cosine verification via broadcast of edge-endpoint vectors
-    # (the dup subset; broadcast-small-side pattern, SURVEY.md §2.4 J2)
-    from metacache_mpi_ray.stages.verify import _edge_doc_ids
+    # exact cosine verification through the shared payload-sized
+    # broadcast-vs-join auto switch (stages/verify.verify_pairs_payload):
+    # the endpoint vector matrix (d x 8 bytes/doc) rides one broadcast
+    # object while it fits, and ships through two hash joins as packed
+    # binary past that — the 100-TB dup-rate scale path
+    from metacache_mpi_ray.stages.verify import verify_pairs_payload
 
-    wanted = _edge_doc_ids(edges)
-    wref = ray.put(wanted)
+    def extract(batch: pa.Table):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, _normalize(_emb_matrix(batch["embedding"]))
 
-    def pick(batch: pa.Table) -> pa.Table:
-        w = ray.get(wref)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        if len(w) == 0:
-            mask = np.zeros(len(ids), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
-            mask = w[pos] == ids
-        return batch.filter(pa.array(mask))
-
-    sub = embeddings.map_batches(pick, batch_format="pyarrow")
-    ids_list, mats = [], []
-    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids_list.append(b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-        mats.append(_normalize(_emb_matrix(b["embedding"])))
-    if ids_list:
-        ids_all = np.concatenate(ids_list)
-        mat_all = np.concatenate(mats, axis=0)
-        order = np.argsort(ids_all)
-        lref = ray.put((ids_all[order], mat_all[order]))
-    else:
-        lref = ray.put((np.empty(0, dtype=np.int64), np.zeros((0, 1))))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        from metacache_mpi_ray.stages.verify import lookup_sorted
-
-        ids_s, mat = ray.get(lref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()),
-                 "b": pa.array([], type=pa.int64()),
-                 "cos_sim": pa.array([], type=pa.float64())}
-            )
-        ia, fa = lookup_sorted(ids_s, a)
-        ib, fb = lookup_sorted(ids_s, b)
-        va = mat[ia]
-        vb = mat[ib]
+    def score(va: np.ndarray, vb: np.ndarray):
         sim = (va * vb).sum(axis=1)
-        keep = (sim >= sim_threshold) & fa & fb
-        return pa.table(
-            {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-                "cos_sim": pa.array(sim[keep], type=pa.float64()),
-            }
-        )
+        return sim, sim >= sim_threshold
 
-    return edges.map_batches(verify, batch_format="pyarrow")
+    return verify_pairs_payload(
+        edges,
+        embeddings,
+        id_col="vec_id",
+        extract=extract,
+        score=score,
+        value_col="cos_sim",
+        value_type=pa.float64(),
+        payload_dtype=np.float64,
+        strategy=verify_strategy,
+        num_partitions=num_partitions,
+    )

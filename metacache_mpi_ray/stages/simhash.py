@@ -123,7 +123,13 @@ def simhash_block_rows(cfg: DedupConfig):
     return emit
 
 
-def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int = 16):
+def simhash_dedup(
+    docs,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int = 16,
+    verify_strategy: str = "auto",
+):
     """docs -> candidate edges within simhash Hamming distance, verified
     exactly (Hamming check on the full 64-bit signatures via join)."""
     from metacache_mpi_ray.config import DedupConfig as _C
@@ -146,59 +152,36 @@ def simhash_dedup(docs, cfg: DedupConfig | None = None, *, num_partitions: int =
     )
     edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
 
-    # exact Hamming verification via broadcast of the edge-endpoint
-    # simhashes (the dup subset — same broadcast-small-side pattern as
-    # stages/verify._verify_broadcast; at extreme scale switch to the
-    # join fallback there)
-    import ray
+    # exact Hamming verification through the shared payload-sized
+    # broadcast-vs-join auto switch (stages/verify.verify_pairs_payload):
+    # broadcast the edge-endpoint simhashes while the dup subset fits in
+    # one object, hash-join the packed values past that — the same scale
+    # story as the flagship's signature verification
+    from metacache_mpi_ray.stages.verify import verify_pairs_payload
 
-    from metacache_mpi_ray.stages.verify import _edge_doc_ids
-
-    wanted = _edge_doc_ids(edges)
-    wref = ray.put(wanted)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        w = ray.get(wref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if len(w) == 0:
-            mask = np.zeros(len(ids), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
-            mask = w[pos] == ids
-        return batch.filter(pa.array(mask))
-
-    sub = sims.map_batches(pick, batch_format="pyarrow").to_pandas()
-    ids_sorted = sub["doc_id"].to_numpy(np.int64)
-    order = np.argsort(ids_sorted)
-    ids_sorted = ids_sorted[order]
-    vals = sub["simhash"].to_numpy(np.int64)[order].view(U64)
-    lref = ray.put((ids_sorted, vals))
     hmax = cfg.simhash_hamming
 
-    def verify(batch: pa.Table) -> pa.Table:
-        from metacache_mpi_ray.stages.verify import lookup_sorted
-
-        ids_s, sh = ray.get(lref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()),
-                 "b": pa.array([], type=pa.int64()),
-                 "hamming": pa.array([], type=pa.int64())}
-            )
-        ia, fa = lookup_sorted(ids_s, a)
-        ib, fb = lookup_sorted(ids_s, b)
-        va = sh[ia]
-        vb = sh[ib]
-        d = hamming_distance_u64(va, vb)
-        keep = (d <= hmax) & fa & fb
-        return pa.table(
-            {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-                "hamming": pa.array(d[keep], type=pa.int64()),
-            }
+    def extract(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (
+            batch["simhash"].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(U64).reshape(-1, 1)
         )
+        return ids, vals
 
-    return edges.map_batches(verify, batch_format="pyarrow")
+    def score(va: np.ndarray, vb: np.ndarray):
+        d = hamming_distance_u64(va[:, 0], vb[:, 0])
+        return d, d <= hmax
+
+    return verify_pairs_payload(
+        edges,
+        sims,
+        id_col="doc_id",
+        extract=extract,
+        score=score,
+        value_col="hamming",
+        value_type=pa.int64(),
+        payload_dtype=U64,
+        strategy=verify_strategy,
+        num_partitions=num_partitions,
+    )

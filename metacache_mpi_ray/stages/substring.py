@@ -23,8 +23,8 @@ Two layers:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.functions.hashing import U64, splitmix64
@@ -198,12 +198,38 @@ def positional_anchor_rows(cfg: DedupConfig):
     return emit
 
 
+def _pairs_from_group(g_ids: np.ndarray, g_pos: np.ndarray, pair_cap: int):
+    """All distinct (a<b) pairs of one anchor bucket with diagonal and
+    a-side position; over-cap buckets sample pair_cap members by
+    deterministic id hash (the one sampling rule shared by the in-batch
+    kernel and the cross-fragment stitch, so a split bucket reassembles
+    to the same pair set a one-batch bucket would emit)."""
+    z = len(g_ids)
+    if z > pair_cap:
+        mix = splitmix64(g_ids.view(U64))
+        pick = np.argsort(mix)[:pair_cap]
+        g_ids, g_pos = g_ids[pick], g_pos[pick]
+        z = pair_cap
+    i, j = np.triu_indices(z, 1)
+    ai, bj = g_ids[i], g_ids[j]
+    pi, pj = g_pos[i], g_pos[j]
+    swap = ai > bj
+    a = np.where(swap, bj, ai)
+    b = np.where(swap, ai, bj)
+    pa_ = np.where(swap, pj, pi)
+    pb_ = np.where(swap, pi, pj)
+    keep = a != b
+    return a[keep], b[keep], (pa_ - pb_)[keep], pa_[keep]
+
+
 def _emit_bucket_pairs(pair_cap: int):
     """Sorted (anchor_hash, doc_id, pos) batch -> (a, b, diag, pos_a)
     pair rows per bucket (all pairs, bucket capped at ``pair_cap``
     deterministically-sampled members). Buckets split across batch
-    boundaries score per fragment (recall-lenient, the same fragment
-    semantics as the capped LSH buckets)."""
+    boundaries ship their first/last-segment members as bridge rows
+    (bridge_key = anchor_hash, pos riding in pos_a) for the driver
+    stitch in ``scored_substring_edges`` — exact reassembly, replacing
+    round-2's per-fragment (recall-lenient) scoring."""
 
     def emit(t: pa.Table) -> pa.Table:
         keys = t["anchor_hash"].to_numpy(zero_copy_only=False)
@@ -214,7 +240,8 @@ def _emit_bucket_pairs(pair_cap: int):
             {"a": pa.array([], type=pa.int64()),
              "b": pa.array([], type=pa.int64()),
              "diag": pa.array([], type=pa.int64()),
-             "pos_a": pa.array([], type=pa.int64())}
+             "pos_a": pa.array([], type=pa.int64()),
+             "bridge_key": pa.array([], type=pa.int64())}
         )
         if n == 0:
             return empty
@@ -223,36 +250,38 @@ def _emit_bucket_pairs(pair_cap: int):
         np.not_equal(keys[1:], keys[:-1], out=change[1:])
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, n))
+        nseg = len(starts)
         out_a, out_b, out_d, out_p = [], [], [], []
         for s, z in zip(starts[sizes > 1].tolist(), sizes[sizes > 1].tolist()):
-            g_ids = ids[s : s + z]
-            g_pos = pos[s : s + z]
-            if z > pair_cap:
-                mix = splitmix64(g_ids.view(U64))
-                pick = np.argsort(mix)[:pair_cap]
-                g_ids, g_pos = g_ids[pick], g_pos[pick]
-                z = pair_cap
-            i, j = np.triu_indices(z, 1)
-            ai, bj = g_ids[i], g_ids[j]
-            pi, pj = g_pos[i], g_pos[j]
-            swap = ai > bj
-            a = np.where(swap, bj, ai)
-            b = np.where(swap, ai, bj)
-            pa_ = np.where(swap, pj, pi)
-            pb_ = np.where(swap, pi, pj)
-            keep = a != b
-            out_a.append(a[keep])
-            out_b.append(b[keep])
-            out_d.append((pa_ - pb_)[keep])
-            out_p.append(pa_[keep])
-        if not out_a:
-            return empty
+            a, b, d, p = _pairs_from_group(ids[s : s + z], pos[s : s + z], pair_cap)
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(d)
+            out_p.append(p)
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        d = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
+        p = np.concatenate(out_p) if out_p else np.empty(0, dtype=np.int64)
+        # bridge rows: members of the batch's first and last segment
+        bridge_idx = [0] if nseg == 1 else [0, nseg - 1]
+        bm_l, bp_l, bk_l = [], [], []
+        for gi in bridge_idx:
+            sl = slice(starts[gi], starts[gi] + sizes[gi])
+            bm_l.append(ids[sl])
+            bp_l.append(pos[sl])
+            bk_l.append(np.full(sizes[gi], keys[starts[gi]], dtype=np.int64))
+        bm = np.concatenate(bm_l)
+        bp = np.concatenate(bp_l)
+        bk = np.concatenate(bk_l)
+        zero = np.zeros(len(a), dtype=np.int64)
+        zb = np.zeros(len(bm), dtype=np.int64)
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "diag": pa.array(np.concatenate(out_d), type=pa.int64()),
-                "pos_a": pa.array(np.concatenate(out_p), type=pa.int64()),
+                "a": pa.array(np.concatenate([a, bm]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b, zb]), type=pa.int64()),
+                "diag": pa.array(np.concatenate([d, zb]), type=pa.int64()),
+                "pos_a": pa.array(np.concatenate([p, bp]), type=pa.int64()),
+                "bridge_key": pa.array(np.concatenate([zero, bk]), type=pa.int64()),
             }
         )
 
@@ -266,6 +295,7 @@ def scored_substring_edges(
     num_partitions: int = 16,
     pair_cap: int = 16,
     max_gap: int | None = None,
+    pair_batch_size: int | None = None,
 ):
     """Candidate pairs scored by the longest CONTIGUOUS anchor run on a
     shared diagonal (pos_a - pos_b constant): est_span ≈ the longest
@@ -286,17 +316,72 @@ def scored_substring_edges(
         # probability (1-1/mod)^gap ~ e^-8 — treat as a region break
         max_gap = cfg.anchor_len + 8 * cfg.anchor_mod
     rows = docs.map_batches(positional_anchor_rows(cfg), batch_format="pyarrow")
-    pairs = (
+    emitted = (
         rows.sort("anchor_hash")
-        .map_batches(_emit_bucket_pairs(pair_cap), batch_format="pyarrow")
+        .map_batches(
+            _emit_bucket_pairs(pair_cap),
+            batch_format="pyarrow",
+            batch_size=pair_batch_size,
+        )
+        .materialize()
     )
 
+    def _split(want_bridge: bool, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            bkv = t["bridge_key"].to_numpy(zero_copy_only=False)
+            mask = (bkv != 0) if want_bridge else (bkv == 0)
+            return t.filter(pa.array(mask)).select(cols)
+
+        return f
+
+    pairs = emitted.map_batches(
+        _split(False, ["a", "b", "diag", "pos_a"]), batch_format="pyarrow"
+    )
+    # stitch buckets split across batch boundaries: reassemble members
+    # from the bridge rows (<= 2 segments/batch) and emit the full pair
+    # set under the shared cap-sampling rule; duplicates of in-fragment
+    # pairs collapse in the runs kernel (equal positions -> same span)
+    bridges = emitted.map_batches(
+        _split(True, ["a", "pos_a", "bridge_key"]), batch_format="pyarrow"
+    ).to_pandas()
+    if len(bridges):
+        ex_a, ex_b, ex_d, ex_p = [], [], [], []
+        for _, grp in bridges.groupby("bridge_key"):
+            g_ids = grp["a"].to_numpy(dtype=np.int64)
+            g_pos = grp["pos_a"].to_numpy(dtype=np.int64)
+            if len(g_ids) < 2:
+                continue
+            a2, b2, d2, p2 = _pairs_from_group(g_ids, g_pos, pair_cap)
+            ex_a.append(a2)
+            ex_b.append(b2)
+            ex_d.append(d2)
+            ex_p.append(p2)
+        if ex_a and sum(len(x) for x in ex_a):
+            import ray.data as rd
+
+            extra = pa.table(
+                {
+                    "a": pa.array(np.concatenate(ex_a), type=pa.int64()),
+                    "b": pa.array(np.concatenate(ex_b), type=pa.int64()),
+                    "diag": pa.array(np.concatenate(ex_d), type=pa.int64()),
+                    "pos_a": pa.array(np.concatenate(ex_p), type=pa.int64()),
+                }
+            )
+            pairs = pairs.union(rd.from_arrow(extra))
+
     def runs(t: pa.Table) -> pa.Table:
+        """Interior (a, b, diag) segments score their gap-split runs in
+        place; the batch's first and last segment ship raw (pos riding
+        in est_span, is_frag=1) to a driver stitch, so a diagonal run
+        split across batch boundaries scores over its full position set
+        instead of per fragment (round-2's lenient under-estimate)."""
         n = len(t)
         empty = pa.table(
             {"a": pa.array([], type=pa.int64()),
              "b": pa.array([], type=pa.int64()),
-             "est_span": pa.array([], type=pa.int64())}
+             "diag": pa.array([], type=pa.int64()),
+             "est_span": pa.array([], type=pa.int64()),
+             "is_frag": pa.array([], type=pa.bool_())}
         )
         if n == 0:
             return empty
@@ -304,30 +389,94 @@ def scored_substring_edges(
         b = t["b"].to_numpy(zero_copy_only=False)
         d = t["diag"].to_numpy(zero_copy_only=False)
         p = t["pos_a"].to_numpy(zero_copy_only=False)
-        brk = np.empty(n, dtype=bool)
-        brk[0] = True
-        brk[1:] = (
-            (a[1:] != a[:-1])
-            | (b[1:] != b[:-1])
-            | (d[1:] != d[:-1])
-            | ((p[1:] - p[:-1]) > max_gap)
-        )
-        starts = np.flatnonzero(brk)
-        sizes = np.diff(np.append(starts, n))
-        span = p[starts + sizes - 1] - p[starts] + cfg.anchor_len
+        seg = np.empty(n, dtype=bool)
+        seg[0] = True
+        seg[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+        seg_starts = np.flatnonzero(seg)
+        seg_sizes = np.diff(np.append(seg_starts, n))
+        nseg = len(seg_starts)
+        seg_idx = np.repeat(np.arange(nseg), seg_sizes)
+        edge_row = (seg_idx == 0) | (seg_idx == nseg - 1)
+        # interior rows: gap-split runs, vectorized
+        brk = seg.copy()
+        brk[1:] |= (p[1:] - p[:-1]) > max_gap
+        interior = ~edge_row
+        cols = {"a": [], "b": [], "d": [], "v": [], "frag": []}
+        if interior.any():
+            ii = np.flatnonzero(interior)
+            bi = brk[ii].copy()
+            bi[0] = True
+            starts_i = ii[np.flatnonzero(bi)]
+            sizes_i = np.diff(np.append(np.flatnonzero(bi), len(ii)))
+            last_i = ii[np.flatnonzero(bi) + sizes_i - 1]
+            span = p[last_i] - p[starts_i] + cfg.anchor_len
+            cols["a"].append(a[starts_i])
+            cols["b"].append(b[starts_i])
+            cols["d"].append(d[starts_i])
+            cols["v"].append(span)
+            cols["frag"].append(np.zeros(len(starts_i), dtype=bool))
+        if edge_row.any():
+            ei = np.flatnonzero(edge_row)
+            cols["a"].append(a[ei])
+            cols["b"].append(b[ei])
+            cols["d"].append(d[ei])
+            cols["v"].append(p[ei])  # raw positions for the stitch
+            cols["frag"].append(np.ones(len(ei), dtype=bool))
         return pa.table(
             {
-                "a": pa.array(a[starts], type=pa.int64()),
-                "b": pa.array(b[starts], type=pa.int64()),
-                "est_span": pa.array(span, type=pa.int64()),
+                "a": pa.array(np.concatenate(cols["a"]), type=pa.int64()),
+                "b": pa.array(np.concatenate(cols["b"]), type=pa.int64()),
+                "diag": pa.array(np.concatenate(cols["d"]), type=pa.int64()),
+                "est_span": pa.array(np.concatenate(cols["v"]), type=pa.int64()),
+                "is_frag": pa.array(np.concatenate(cols["frag"]), type=pa.bool_()),
             }
         )
 
-    scored = (
+    emitted2 = (
         pairs.sort(["a", "b", "diag", "pos_a"])
-        .map_batches(runs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Max("est_span", alias_name="est_span"))
+        .map_batches(runs, batch_format="pyarrow", batch_size=pair_batch_size)
+        .materialize()
+    )
+
+    def keep2(want_frag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = t["is_frag"].to_numpy(zero_copy_only=False)
+            if not want_frag:
+                mask = ~mask
+            return t.filter(pa.array(mask)).select(["a", "b", "est_span"])
+
+        return f
+
+    scored_rows = emitted2.map_batches(keep2(False), batch_format="pyarrow")
+    frags = emitted2.map_batches(
+        lambda t: t.filter(t["is_frag"]).select(["a", "b", "diag", "est_span"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(frags):
+        fa, fb, fv = [], [], []
+        for (ga, gb, _gd), grp in frags.groupby(["a", "b", "diag"]):
+            ps = np.sort(np.unique(grp["est_span"].to_numpy(dtype=np.int64)))
+            gaps = np.flatnonzero(np.diff(ps) > max_gap)
+            rs = np.concatenate([[0], gaps + 1])
+            re = np.concatenate([gaps, [len(ps) - 1]])
+            span = (ps[re] - ps[rs] + cfg.anchor_len).max()
+            fa.append(ga)
+            fb.append(gb)
+            fv.append(int(span))
+        if fa:
+            extra2 = pa.table(
+                {
+                    "a": pa.array(fa, type=pa.int64()),
+                    "b": pa.array(fb, type=pa.int64()),
+                    "est_span": pa.array(fv, type=pa.int64()),
+                }
+            )
+            import ray.data as rd
+
+            scored_rows = scored_rows.union(rd.from_arrow(extra2))
+
+    scored = scored_rows.groupby(["a", "b"]).aggregate(
+        Max("est_span", alias_name="est_span")
     )
     return scored.filter(expr=f"est_span >= {cfg.min_match_len}")
 
@@ -442,25 +591,156 @@ def lcs_len_hashed(a: bytes, b: bytes, seed: int = 0) -> int:
     return lo
 
 
-def cluster_lcs_report(docs_with_clusters, *, min_cluster: int = 2, max_members: int = 16):
-    """groupby(cluster_id).map_groups: longest common substring between
-    the cluster representative and each member — per-cluster exact
-    refinement (bounded group sizes; larger groups sampled)."""
+def _lcs_rows_for_cluster(
+    cluster_id: int,
+    doc_ids: np.ndarray,
+    texts: list[str],
+    min_cluster: int,
+    max_members: int,
+):
+    """(cluster_id, doc_id, lcs_with_rep) rows for one complete cluster
+    whose members arrive doc_id-sorted: LCS of the representative (min
+    doc_id) against each of the first ``max_members`` members."""
+    if len(doc_ids) < min_cluster:
+        return [], [], []
+    m = min(len(doc_ids), max_members)
+    rep_text = texts[0].encode("utf-8")
+    out_c, out_d, out_l = [], [], []
+    for i in range(1, m):
+        out_c.append(int(cluster_id))
+        out_d.append(int(doc_ids[i]))
+        out_l.append(lcs_len_hashed(rep_text, texts[i].encode("utf-8")))
+    return out_c, out_d, out_l
 
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < min_cluster:
-            return pd.DataFrame(
-                {"cluster_id": [], "doc_id": [], "lcs_with_rep": []}
-            ).astype({"cluster_id": "int64", "doc_id": "int64", "lcs_with_rep": "int64"})
-        g = g.sort_values("doc_id").head(max_members)
-        rep = g.iloc[0]
-        rep_text = rep["norm_text"].encode("utf-8")
-        rows = []
-        for _, r in g.iloc[1:].iterrows():
-            l = lcs_len_hashed(rep_text, r["norm_text"].encode("utf-8"))
-            rows.append((int(rep["cluster_id"]), int(r["doc_id"]), l))
-        return pd.DataFrame(rows, columns=["cluster_id", "doc_id", "lcs_with_rep"])
 
-    return docs_with_clusters.groupby("cluster_id").map_groups(
-        per_cluster, batch_format="pandas"
+def cluster_lcs_report(
+    docs_with_clusters,
+    *,
+    min_cluster: int = 2,
+    max_members: int = 16,
+    batch_size: int | None = None,
+):
+    """Longest common substring between each cluster's representative
+    (min doc_id) and its first ``max_members`` members — per-cluster
+    exact refinement.
+
+    Dispatch is ONE ``sort(["cluster_id", "doc_id"])`` range shuffle +
+    a per-batch segment kernel (the windows.py pattern), replacing
+    round-2's ``groupby.map_groups`` + ``iterrows`` — one Python call
+    and DataFrame per cluster dominated at many clusters. The two
+    boundary segments of each batch ship raw (id, text) fragment rows
+    to an O(#blocks) driver stitch. Per-pair LCS cost is the
+    ``lcs_len_hashed`` kernel either way."""
+    sorted_ds = (
+        docs_with_clusters.select_columns(["cluster_id", "doc_id", "norm_text"])
+        .sort(["cluster_id", "doc_id"])
+        .materialize()
     )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.table(
+            {"cluster_id": pa.array([], type=pa.int64()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "lcs_with_rep": pa.array([], type=pa.int64()),
+             "text": pa.array([], type=pa.string()),
+             "is_frag": pa.array([], type=pa.bool_())}
+        )
+        if n == 0:
+            return empty
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(cl[1:], cl[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        nseg = len(starts)
+        texts = None  # decoded lazily: interior work may be empty
+        out_c, out_d, out_l = [], [], []
+        for gi in range(1, nseg - 1):
+            if sizes[gi] < min_cluster:
+                continue
+            if texts is None:
+                texts = t["norm_text"].to_pylist()
+            s, z = starts[gi], sizes[gi]
+            c, d_, l_ = _lcs_rows_for_cluster(
+                cl[s], ids[s : s + z], texts[s : s + z], min_cluster, max_members
+            )
+            out_c.extend(c)
+            out_d.extend(d_)
+            out_l.extend(l_)
+        # boundary segments -> fragment rows (only first max_members per
+        # fragment need to travel: rep + members are doc_id-minimal, and
+        # a cluster has at most 2 boundary fragments + interior rows
+        # already ordered, so the stitch sees a superset of its head)
+        frag_sel = []
+        for gi in ([0] if nseg == 1 else [0, nseg - 1]):
+            s, z = starts[gi], sizes[gi]
+            frag_sel.extend(range(s, s + min(z, max_members)))
+        ftab = t.take(pa.array(frag_sel, type=pa.int64()))
+        n_int = len(out_c)
+        n_frag = len(frag_sel)
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    out_c + ftab["cluster_id"].to_pylist(), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    out_d + ftab["doc_id"].to_pylist(), type=pa.int64()
+                ),
+                "lcs_with_rep": pa.array(
+                    out_l + [0] * n_frag, type=pa.int64()
+                ),
+                "text": pa.array(
+                    [""] * n_int + ftab["norm_text"].to_pylist(), type=pa.string()
+                ),
+                "is_frag": pa.array(
+                    [False] * n_int + [True] * n_frag, type=pa.bool_()
+                ),
+            }
+        )
+
+    emitted = sorted_ds.map_batches(
+        kernel, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    final = emitted.map_batches(
+        lambda t: t.filter(pc.invert(t["is_frag"])).select(
+            ["cluster_id", "doc_id", "lcs_with_rep"]
+        ),
+        batch_format="pyarrow",
+    )
+    frags = emitted.map_batches(
+        lambda t: t.filter(t["is_frag"]).select(["cluster_id", "doc_id", "text"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(frags):
+        out_c, out_d, out_l = [], [], []
+        for cid, grp in frags.groupby("cluster_id"):
+            grp = grp.sort_values("doc_id").head(max_members)
+            c, d_, l_ = _lcs_rows_for_cluster(
+                cid,
+                grp["doc_id"].to_numpy(dtype=np.int64),
+                grp["text"].tolist(),
+                min_cluster,
+                max_members,
+            )
+            out_c.extend(c)
+            out_d.extend(d_)
+            out_l.extend(l_)
+        if out_c:
+            import ray.data as rd
+
+            final = final.union(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "cluster_id": pa.array(out_c, type=pa.int64()),
+                            "doc_id": pa.array(out_d, type=pa.int64()),
+                            "lcs_with_rep": pa.array(out_l, type=pa.int64()),
+                        }
+                    )
+                )
+            )
+    return final

@@ -81,6 +81,180 @@ def _collect_sig_subset(signatures, wanted: np.ndarray, n_perms: int):
     return ids_all[order], sig_all[order]
 
 
+def filter_to_ids(id_col: str, wanted_ref):
+    """map_batches fn: keep rows whose ``id_col`` is in the broadcast
+    sorted id array ``wanted_ref`` (ray.put once, read per task)."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        _, found = lookup_sorted(w, ids)
+        return batch.filter(pa.array(found))
+
+    return pick
+
+
+def _collect_payload_subset(table, id_col, wanted, extract, bytes_limit=None):
+    """Stream the rows of ``table`` whose id is in ``wanted`` through
+    ``extract`` (batch -> (ids, 2D payload)) and return the id-sorted
+    (ids, payload) pair — or None as soon as the accumulated payload
+    exceeds ``bytes_limit`` (the caller then takes the join path instead
+    of finishing a broadcast that can't fit)."""
+    wref = ray.put(wanted)
+    sub = table.map_batches(filter_to_ids(id_col, wref), batch_format="pyarrow")
+    ids_out, pay_out, nbytes = [], [], 0
+    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids, pay = extract(b)
+        ids_out.append(ids)
+        pay_out.append(pay)
+        nbytes += pay.nbytes
+        if bytes_limit is not None and nbytes > bytes_limit:
+            return None
+    if not ids_out:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    ids_all = np.concatenate(ids_out)
+    pay_all = np.concatenate(pay_out, axis=0)
+    order = np.argsort(ids_all)
+    return ids_all[order], pay_all[order]
+
+
+def verify_pairs_payload(
+    edges,
+    table,
+    *,
+    id_col: str,
+    extract,
+    score,
+    value_col: str,
+    value_type=None,
+    payload_dtype=None,
+    strategy: str = "auto",
+    broadcast_bytes_limit: int = 2 << 30,
+    num_partitions: int = 16,
+):
+    """Generic pair verification against per-row fixed-width payloads —
+    the payload-sized broadcast-vs-join auto-switch factored out of
+    ``verify_edges`` so every pair-verifying pipeline (MinHash
+    signatures, SimHash values, embedding vectors) shares one scale
+    story instead of each hard-coding a broadcast.
+
+    ``extract(batch) -> (ids int64, payload 2D ndarray)`` pulls the
+    payload rows out of a ``table`` batch; ``score(pa, pb) ->
+    (values ndarray, keep bool mask)`` scores aligned payload-row pairs.
+    ``auto`` broadcasts the edge-endpoint subset when it fits in
+    ``broadcast_bytes_limit`` (measured while streaming — the collection
+    aborts the moment it can't fit) and otherwise falls back to two hash
+    joins shipping the payload as packed binary (``payload_dtype``
+    required for the join path's unpack)."""
+    value_type = value_type or pa.float64()
+
+    def _empty():
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                value_col: pa.array([], type=value_type),
+            }
+        )
+
+    subset = None
+    if strategy in ("auto", "broadcast"):
+        wanted = _edge_doc_ids(edges)
+        subset = _collect_payload_subset(
+            table,
+            id_col,
+            wanted,
+            extract,
+            bytes_limit=broadcast_bytes_limit if strategy == "auto" else None,
+        )
+    if subset is not None:
+        lookup_ref = ray.put(subset)
+
+        def score_b(batch: pa.Table) -> pa.Table:
+            ids_s, pay = ray.get(lookup_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            if len(a) == 0 or len(ids_s) == 0:
+                return _empty()
+            ia, fa = lookup_sorted(ids_s, a)
+            ib, fb = lookup_sorted(ids_s, b)
+            vals, keep = score(pay[ia], pay[ib])
+            keep = keep & fa & fb  # endpoints without a payload row drop
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], type=pa.int64()),
+                    "b": pa.array(b[keep], type=pa.int64()),
+                    value_col: pa.array(vals[keep], type=value_type),
+                }
+            )
+
+        return edges.map_batches(score_b, batch_format="pyarrow")
+
+    # join fallback: payload rows ride the shuffle as packed binary
+    if payload_dtype is None:
+        raise ValueError("payload_dtype is required for the join strategy")
+    itemsize = np.dtype(payload_dtype).itemsize
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids, pay = extract(batch)
+        n, w = pay.shape
+        flat = np.ascontiguousarray(pay).view(np.uint8).reshape(n, w * itemsize)
+        offs = np.arange(0, (n + 1) * w * itemsize, w * itemsize, dtype=np.int64)
+        bin_col = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "payload": bin_col}
+        )
+
+    packed = table.map_batches(pack, batch_format="pyarrow")
+    sa = packed.rename_columns({"doc_id": "a", "payload": "pay_a"})
+    sb = packed.rename_columns({"doc_id": "b", "payload": "pay_b"})
+    j = edges.select_columns(["a", "b"]).join(
+        sa, join_type="inner", num_partitions=num_partitions, on=("a",)
+    )
+    # schema-preserving barrier: a hash partition of a chained join that
+    # receives zero left blocks finalizes as a zero-column table and the
+    # second join's key lookup fails (Ray 2.49 join aggregator builds
+    # empty partitions schema-less); repartition rebuilds every block
+    # with the schema attached
+    j = j.repartition(num_partitions)
+    j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def _unpack(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return np.empty((0, 0), dtype=payload_dtype)
+        # rows are fixed-width and tightly packed (pack() wrote them;
+        # Arrow take/concat preserve dense value layout) -> one view
+        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + n + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        seg = np.ascontiguousarray(data[offs[0] : offs[-1]])
+        return seg.view(payload_dtype).reshape(n, -1)
+
+    def score_j(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _empty()
+        pa_ = _unpack(batch["pay_a"])
+        pb_ = _unpack(batch["pay_b"])
+        vals, keep = score(pa_, pb_)
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                value_col: pa.array(vals[keep], type=value_type),
+            }
+        )
+
+    return j.map_batches(score_j, batch_format="pyarrow")
+
+
 def verify_edges(
     edges,
     signatures,
@@ -136,74 +310,215 @@ def _verify_broadcast(edges, signatures, cfg: DedupConfig, wanted=None):
     return edges.map_batches(score, batch_format="pyarrow")
 
 
-def verify_edges_exact_jaccard(edges, docs, cfg: DedupConfig):
-    """Exact n-gram Jaccard verification of candidate pairs: the
-    endpoint texts (dup subset) are shingled once and broadcast as
-    sorted-hash sets; each edge computes true |A∩B| / |A∪B| with a
-    vectorized sorted-array intersection. The precision-grade
-    alternative to MinHash-estimated verification (used when cluster
-    purity matters more than a second pass over the dup subset)."""
+def _gather_var(flat: np.ndarray, offs: np.ndarray, idx: np.ndarray):
+    """Vectorized gather of variable-length slices ``flat[offs[i]:
+    offs[i+1]]`` for each i in idx -> (values, lengths)."""
+    lens = offs[idx + 1] - offs[idx]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), lens
+    seg0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens) + np.repeat(
+        offs[idx], lens
+    )
+    return flat[pos], lens
+
+
+def _jaccard_batch(
+    va: np.ndarray, la: np.ndarray, vb: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard per aligned set pair, fully vectorized: each side's
+    values are unique within a set, so in the per-edge sorted merge of
+    both sides every adjacent duplicate is one cross-side match —
+    |A∩B| per edge falls out of one lexsort + reduct, no per-edge
+    Python."""
+    nedges = len(la)
+    vals = np.concatenate([va, vb])
+    tags = np.concatenate(
+        [np.repeat(np.arange(nedges, dtype=np.int64), la),
+         np.repeat(np.arange(nedges, dtype=np.int64), lb)]
+    )
+    order = np.lexsort((vals, tags))
+    v, g = vals[order], tags[order]
+    dup = np.zeros(len(v), dtype=np.int64)
+    if len(v) > 1:
+        dup[1:] = ((v[1:] == v[:-1]) & (g[1:] == g[:-1])).astype(np.int64)
+    inter = np.bincount(g, weights=dup, minlength=nedges).astype(np.int64)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def shingle_sets(docs, cfg: DedupConfig):
+    """docs -> (doc_id, shingles) with each doc's UNIQUE sorted shingle
+    hashes packed as one large_binary value (u64 little-endian) — the
+    exact-Jaccard payload, built distributed in map_batches."""
     from metacache_mpi_ray.functions.hashing import (
         arrow_string_buffer,
         shingle_hashes_from_buffer,
     )
 
-    wanted = _edge_doc_ids(edges)
-    wref = ray.put(wanted)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        w = ray.get(wref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if len(w) == 0:
-            mask = np.zeros(len(ids), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
-            mask = w[pos] == ids
-        return batch.filter(pa.array(mask))
-
-    sub = docs.select_columns(["doc_id", "norm_text"]).map_batches(
-        pick, batch_format="pyarrow"
-    )
-    sets: dict[int, np.ndarray] = {}
-    for b in sub.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    def build(b: pa.Table) -> pa.Table:
         data, starts, ends = arrow_string_buffer(b["norm_text"])
-        h, offs = shingle_hashes_from_buffer(data, starts, ends, cfg.shingle_k, cfg.seed)
+        h, offs = shingle_hashes_from_buffer(
+            data, starts, ends, cfg.shingle_k, cfg.seed
+        )
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        for i, d in enumerate(ids.tolist()):
-            sets[d] = np.unique(h[offs[i] : offs[i + 1]])
-    sets_ref = ray.put(sets)
+        n = len(ids)
+        # per-doc unique+sort without a per-doc loop: sort (doc, hash)
+        # pairs, drop adjacent dups, rebuild offsets
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, doc_of))
+        hs, ds_ = h[order], doc_of[order]
+        keep = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hs, ds_ = hs[keep], ds_[keep]
+        counts = np.bincount(ds_, minlength=n)
+        byte_offs = np.concatenate([[0], np.cumsum(counts)]) * 8
+        bin_col = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None,
+             pa.py_buffer(byte_offs.astype(np.int64).tobytes()),
+             pa.py_buffer(hs.tobytes())],
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "shingles": bin_col}
+        )
+
+    return docs.select_columns(["doc_id", "norm_text"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
+def verify_edges_exact_jaccard(
+    edges,
+    docs,
+    cfg: DedupConfig,
+    *,
+    strategy: str = "auto",
+    broadcast_bytes_limit: int = 2 << 30,
+    num_partitions: int = 16,
+):
+    """Exact n-gram Jaccard verification of candidate pairs — the
+    precision-grade alternative to MinHash-estimated verification.
+
+    Round-3 rewrite (round-2 built a driver-side dict of per-doc shingle
+    sets and scored edges in a per-edge Python loop): the sets are built
+    DISTRIBUTED (``shingle_sets``), the edge-endpoint subset broadcasts
+    as one (ids, flat values, offsets) object while it fits in
+    ``broadcast_bytes_limit``, and scoring is one lexsort + reduct per
+    edge batch (``_jaccard_batch``). Past the broadcast limit the packed
+    sets ship through the same two-hash-join fallback as
+    ``verify_pairs_payload``."""
+    sets_ds = shingle_sets(docs, cfg)
     thresh = cfg.sim_threshold
 
-    def score(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b_ = batch["b"].to_numpy(zero_copy_only=False)
-        sims = np.empty(len(a), dtype=np.float64)
-        # per-edge work is inherent to exact Jaccard (each edge owns a
-        # distinct set pair, all bounded by the dup subset); the sets
-        # are stored unique-sorted, so membership counting is one
-        # searchsorted pass — no per-edge re-sorting
-        for i in range(len(a)):
-            sa, sb = ss.get(int(a[i])), ss.get(int(b_[i]))
-            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                sims[i] = 0.0
-                continue
-            if len(sa) > len(sb):
-                sa, sb = sb, sa
-            pos = np.searchsorted(sb, sa)
-            pos = np.minimum(pos, len(sb) - 1)
-            inter = int(np.count_nonzero(sb[pos] == sa))
-            sims[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+    def _unpack_bin(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        boffs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        flat = np.ascontiguousarray(data[boffs[0] : boffs[-1]]).view(np.uint64)
+        return flat, (boffs - boffs[0]) // 8
+
+    def _empty():
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
+
+    subset = None
+    if strategy in ("auto", "broadcast"):
+        wanted = _edge_doc_ids(edges)
+        wref = ray.put(wanted)
+        sub = sets_ds.map_batches(filter_to_ids("doc_id", wref), batch_format="pyarrow")
+        ids_out, flat_out, lens_out, nbytes, aborted = [], [], [], 0, False
+        for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            flat, offs = _unpack_bin(b["shingles"])
+            ids_out.append(b["doc_id"].to_numpy(zero_copy_only=False))
+            flat_out.append(flat)
+            lens_out.append(np.diff(offs))
+            nbytes += flat.nbytes
+            if strategy == "auto" and nbytes > broadcast_bytes_limit:
+                aborted = True
+                break
+        if not aborted:
+            if ids_out:
+                ids_all = np.concatenate(ids_out)
+                lens_all = np.concatenate(lens_out)
+                flat_all = np.concatenate(flat_out)
+                order = np.argsort(ids_all)
+                # reorder the flat pool to id-sorted set order
+                offs_all = np.concatenate([[0], np.cumsum(lens_all)]).astype(np.int64)
+                v_sorted, lens_sorted = _gather_var(flat_all, offs_all, order)
+                subset = (
+                    ids_all[order],
+                    v_sorted,
+                    np.concatenate([[0], np.cumsum(lens_sorted)]).astype(np.int64),
+                )
+            else:
+                subset = (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.uint64),
+                    np.zeros(1, dtype=np.int64),
+                )
+
+    if subset is not None:
+        sref = ray.put(subset)
+
+        def score_b(batch: pa.Table) -> pa.Table:
+            ids_s, flat, offs = ray.get(sref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b_ = batch["b"].to_numpy(zero_copy_only=False)
+            if len(a) == 0 or len(ids_s) == 0:
+                return _empty()
+            ia, fa = lookup_sorted(ids_s, a)
+            ib, fb = lookup_sorted(ids_s, b_)
+            va, la = _gather_var(flat, offs, ia)
+            vb, lb = _gather_var(flat, offs, ib)
+            sims = _jaccard_batch(va, la, vb, lb)
+            keep = (sims >= thresh) & fa & fb
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], type=pa.int64()),
+                    "b": pa.array(b_[keep], type=pa.int64()),
+                    "jaccard": pa.array(sims[keep], type=pa.float64()),
+                }
+            )
+
+        return edges.map_batches(score_b, batch_format="pyarrow")
+
+    # join fallback: packed sets ride the shuffle
+    sa = sets_ds.rename_columns({"doc_id": "a", "shingles": "set_a"})
+    sb = sets_ds.rename_columns({"doc_id": "b", "shingles": "set_b"})
+    j = edges.select_columns(["a", "b"]).join(
+        sa, join_type="inner", num_partitions=num_partitions, on=("a",)
+    )
+    j = j.repartition(num_partitions)  # schema barrier, see verify_pairs_payload
+    j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def score_j(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _empty()
+        fa_, oa = _unpack_bin(batch["set_a"])
+        fb_, ob = _unpack_bin(batch["set_b"])
+        sims = _jaccard_batch(fa_, np.diff(oa), fb_, np.diff(ob))
         keep = sims >= thresh
         return pa.table(
             {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b_[keep], type=pa.int64()),
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
                 "jaccard": pa.array(sims[keep], type=pa.float64()),
             }
         )
 
-    return edges.map_batches(score, batch_format="pyarrow")
+    return j.map_batches(score_j, batch_format="pyarrow")
 
 
 def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
@@ -223,6 +538,9 @@ def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
     sa = sigs.rename_columns({"doc_id": "a", "sigbin": "sig_a"})
     sb = sigs.rename_columns({"doc_id": "b", "sigbin": "sig_b"})
     j = edges.join(sa, join_type="inner", num_partitions=num_partitions, on=("a",))
+    # schema-preserving barrier between chained joins (see
+    # verify_pairs_payload): guards against zero-block left partitions
+    j = j.repartition(num_partitions)
     j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("b",))
 
     thresh = cfg.verify_threshold

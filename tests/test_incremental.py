@@ -192,3 +192,58 @@ def test_incremental_agrees_with_full_recompute(tmp_path, corpus_dir):
         c = int(full.loc[bid, "cluster_id"])
         has_a_partner = any(m in a_ids for m in cluster_members[c] if m != bid)
         assert bool(got.loc[bid]) == has_a_partner, bid
+
+
+def test_probe_bridge_stitch_across_batch_boundary():
+    """A band bucket split across probe batches must still emit its
+    cross-fragment new x stored pairs (round-2 probed per fragment)."""
+    from metacache_mpi_ray.pipelines.incremental import probe_tagged_bands
+
+    # bucket bkey=5: stored {1,2,3} + new {11,12,13}; bucket bkey=9:
+    # stored {4} + new {14}. batch_size=4 splits bucket 5 into a 4-row
+    # and a 2-row fragment whatever the within-key order is.
+    tab = pa.table(
+        {
+            "bkey": pa.array([5] * 6 + [9] * 2, type=pa.int64()),
+            "id": pa.array([1, 2, 3, 11, 12, 13, 4, 14], type=pa.int64()),
+            "side": pa.array([0, 0, 0, 1, 1, 1, 0, 1], type=pa.int8()),
+        }
+    )
+    pairs = probe_tagged_bands(
+        rd.from_arrow(tab), cap=256, probe_batch_size=4
+    ).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    want = {(n, s) for n in (11, 12, 13) for s in (1, 2, 3)} | {(14, 4)}
+    assert got == want
+
+    # over-cap reassembled bucket: no cross-fragment pairs added
+    pairs_capped = probe_tagged_bands(
+        rd.from_arrow(tab), cap=4, probe_batch_size=4
+    ).to_pandas()
+    got_capped = set(zip(pairs_capped["a"], pairs_capped["b"]))
+    # bucket 5 has 6 members > cap=4: only per-fragment emission of
+    # fragments <= cap may appear, and never pairs requiring the full
+    # bucket; bucket 9 (2 members) survives intact
+    assert (14, 4) in got_capped
+    assert not {(11, 1), (12, 2), (13, 3)} <= got_capped
+
+
+def test_query_with_tiny_probe_batches_matches_default(index_root):
+    """End-to-end: forcing many probe-batch boundaries must not lose
+    matches vs the default batch size."""
+    from metacache_mpi_ray.pipelines.incremental import query_against_index
+
+    root, _, corpus_dir = index_root
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    sub = pages.head(12).copy()
+    sub["url"] = "http://q.example/" + sub.index.astype(str)
+    new_docs = ingest_pages(rd.from_pandas(sub))
+    base = query_against_index(new_docs, root, num_partitions=4).to_pandas()
+    tiny = query_against_index(
+        new_docs, root, num_partitions=4, probe_batch_size=3
+    ).to_pandas()
+    b = base.sort_values("doc_id").reset_index(drop=True)
+    t = tiny.sort_values("doc_id").reset_index(drop=True)
+    assert (b["matched"] == t["matched"]).all()
+    assert (b["matched_cluster_id"] == t["matched_cluster_id"]).all()
+    assert b["matched"].any()

@@ -236,3 +236,83 @@ def test_bucket_all_pairs_reassembles_split_buckets():
         bucket_all_pairs(ds, ["k"], cap=50), num_partitions=4
     ).to_pandas()
     assert len(few) == 3
+
+
+# ----------------------------------------- shared verify strategy switch
+
+def test_simhash_dedup_join_strategy_matches_broadcast():
+    """The payload-sized auto switch (verify_pairs_payload) must give
+    identical pairs down the join path as down the broadcast path."""
+    from metacache_mpi_ray.stages.simhash import simhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about mountains rivers and lakes " * 8
+    texts = [base, base, near, other]
+    got = {}
+    for strat in ("broadcast", "join"):
+        pairs = simhash_dedup(
+            _docs_ds(texts), CFG, num_partitions=4, verify_strategy=strat
+        ).to_pandas()
+        got[strat] = set(
+            zip(pairs["a"], pairs["b"], pairs["hamming"])
+        )
+    assert got["broadcast"] == got["join"]
+    assert any(h == 0 for _, _, h in got["broadcast"])  # identical pair
+
+
+def test_embedding_near_dup_join_strategy_matches_broadcast(emb_ds):
+    from metacache_mpi_ray.stages.ann import embedding_near_dup
+
+    got = {}
+    for strat in ("broadcast", "join"):
+        pairs = embedding_near_dup(
+            emb_ds, sim_threshold=0.98, num_partitions=4, verify_strategy=strat
+        ).to_pandas()
+        got[strat] = set(zip(pairs["a"], pairs["b"], pairs["cos_sim"].round(9)))
+    assert got["broadcast"] == got["join"]
+    assert {(p[0], p[1]) for p in got["join"]} >= {(0, 1), (0, 2)}
+
+
+def test_verify_pairs_payload_auto_spills_to_join():
+    """A one-byte broadcast budget must force the join fallback and
+    still score pairs correctly."""
+    from metacache_mpi_ray.stages.verify import verify_pairs_payload
+
+    vals = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "v": pa.array([10, 10, 99], type=pa.int64()),
+        }
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {"a": pa.array([1, 1], type=pa.int64()),
+             "b": pa.array([2, 3], type=pa.int64())}
+        )
+    )
+
+    def extract(b):
+        return (
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False).reshape(-1, 1).astype(np.int64),
+        )
+
+    def score(x, y):
+        d = np.abs(x[:, 0] - y[:, 0])
+        return d, d == 0
+
+    out = verify_pairs_payload(
+        edges,
+        rd.from_arrow(vals),
+        id_col="doc_id",
+        extract=extract,
+        score=score,
+        value_col="dist",
+        value_type=pa.int64(),
+        payload_dtype=np.int64,
+        strategy="auto",
+        broadcast_bytes_limit=1,
+        num_partitions=2,
+    ).to_pandas()
+    assert set(zip(out["a"], out["b"], out["dist"])) == {(1, 2, 0)}

@@ -208,3 +208,103 @@ def test_anchor_ambiguity_filter_drops_cross_host_boilerplate():
         for _, r in docs.to_pandas().iterrows()
     }
     assert all(host_of[r["a"]] == host_of[r["b"]] for _, r in strict.iterrows())
+
+
+def test_scored_substring_pair_bridge_stitch():
+    """pair_batch_size=1 splits EVERY anchor bucket into single-row
+    fragments: round-2's per-fragment scoring emitted nothing; the
+    bridge stitch must recover the full planted pair."""
+    from metacache_mpi_ray.stages.ingest import ingest_documents
+    from metacache_mpi_ray.stages.substring import scored_substring_edges
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(600)]
+
+    def mk(n):
+        return " ".join(words[int(rng.integers(0, 600))] for _ in range(n))
+
+    shared = mk(150)
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [mk(80) + " " + shared, shared + " " + mk(70), mk(200)],
+                type=pa.string(),
+            ),
+        }
+    )
+    docs = ingest_documents(rd.from_arrow(tab))
+    base = scored_substring_edges(docs, CFG, num_partitions=4).to_pandas()
+    tiny = scored_substring_edges(
+        docs, CFG, num_partitions=4, pair_batch_size=1
+    ).to_pandas()
+    assert set(zip(tiny["a"], tiny["b"])) == set(zip(base["a"], base["b"])) == {(1, 2)}
+    # spans come from the same stitched pair set -> identical estimate
+    assert int(tiny["est_span"][0]) == int(base["est_span"][0])
+
+
+def test_cluster_lcs_report_matches_pandas_reference_across_batch_sizes():
+    """The sort+segment dispatch (round-3 rewrite of the map_groups
+    version) must reproduce the per-cluster rep-vs-member LCS exactly,
+    including clusters split across batch boundaries."""
+    from metacache_mpi_ray.stages.substring import (
+        cluster_lcs_report,
+        lcs_len_hashed,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+
+    def mk(n):
+        return " ".join(words[int(rng.integers(0, 200))] for _ in range(n))
+
+    rows = []
+    for cid in range(6):
+        base = mk(40)
+        for j in range(int(rng.integers(1, 5))):
+            # member texts share a prefix with the rep
+            rows.append((cid, cid * 100 + j, base[: len(base) - 5 * j] + " " + mk(6)))
+    df = pd.DataFrame(rows, columns=["cluster_id", "doc_id", "norm_text"])
+
+    # pandas reference
+    want = set()
+    for cid, g in df.groupby("cluster_id"):
+        g = g.sort_values("doc_id").head(8)
+        if len(g) < 2:
+            continue
+        rep = g.iloc[0]["norm_text"].encode()
+        for _, r in g.iloc[1:].iterrows():
+            want.add(
+                (int(cid), int(r["doc_id"]), lcs_len_hashed(rep, r["norm_text"].encode()))
+            )
+
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=7))  # shuffled input
+    for bs in (None, 3):
+        got_df = cluster_lcs_report(ds, min_cluster=2, max_members=8, batch_size=bs)
+        got = set(
+            zip(*[got_df.to_pandas()[c] for c in ["cluster_id", "doc_id", "lcs_with_rep"]])
+        )
+        assert got == want, bs
+
+
+def test_exact_jaccard_join_strategy_matches_broadcast(corpus_dir):
+    from metacache_mpi_ray.stages.banding import compute_bands
+    from metacache_mpi_ray.stages.candidates import bucket_edges, dedupe_edges
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+    from metacache_mpi_ray.stages.verify import verify_edges_exact_jaccard
+
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages")).materialize()
+    sigs = compute_signatures(docs, CFG, batch_size=1024).materialize()
+    edges = dedupe_edges(
+        bucket_edges(
+            compute_bands(sigs, CFG), ["band_id", "band_hash"], cap=CFG.bucket_cap
+        ),
+        num_partitions=4,
+    ).materialize()
+    vb = verify_edges_exact_jaccard(edges, docs, CFG, strategy="broadcast").to_pandas()
+    vj = verify_edges_exact_jaccard(
+        edges, docs, CFG, strategy="join", num_partitions=4
+    ).to_pandas()
+    kb = set(zip(vb["a"], vb["b"], vb["jaccard"].round(12)))
+    kj = set(zip(vj["a"], vj["b"], vj["jaccard"].round(12)))
+    assert kb == kj and len(kb) > 50
