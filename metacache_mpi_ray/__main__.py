@@ -7,6 +7,7 @@ same operations here as
     python -m metacache_mpi_ray query  --index ROOT --pages DIR --out DIR
     python -m metacache_mpi_ray dedup  --pages DIR --out DIR
     python -m metacache_mpi_ray merge  --edges DIR [--edges DIR ...] --pages DIR --out DIR
+    python -m metacache_mpi_ray annotate --pages DIR --mapping FILE --key K --annotation A --header-cols C1,C2 --out DIR
     python -m metacache_mpi_ray info   --index ROOT
 
 The CLI owns the Ray session (guarded init; library code never calls
@@ -106,6 +107,30 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_annotate(args) -> int:
+    """Annotate mode — the mode_annotate analog
+    (/root/reference/src/mode_annotate.cpp:238-311): look up an
+    annotation per record key in a mapping parquet, rewrite headers."""
+    _ensure_ray()
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from metacache_mpi_ray.pipelines.annotate import annotate_docs
+
+    docs = rd.read_parquet(args.pages)
+    mapping = pq.read_table(args.mapping).to_pandas()
+    out = annotate_docs(
+        docs,
+        mapping,
+        on=args.key,
+        annotation_col=args.annotation,
+        header_cols=args.header_cols.split(","),
+    ).materialize()
+    out.write_parquet(args.out)
+    print(json.dumps({"mode": "annotate", "out": args.out, "docs": out.count()}))
+    return 0
+
+
 def cmd_info(args) -> int:
     """Index statistics — the mode_info analog
     (/root/reference/src/mode_info.cpp:288-345): config, artifact row
@@ -172,6 +197,18 @@ def main(argv=None) -> int:
     sp.add_argument("--edges", action="append", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("annotate", help="rewrite record headers from a mapping")
+    sp.add_argument("--pages", required=True, help="records parquet file/dir")
+    sp.add_argument("--mapping", required=True, help="mapping parquet (key + annotation)")
+    sp.add_argument("--key", required=True, help="join key column")
+    sp.add_argument("--annotation", required=True, help="annotation column in mapping")
+    sp.add_argument(
+        "--header-cols", required=True, dest="header_cols",
+        help="comma-separated record columns prefixed to the header",
+    )
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_annotate)
 
     sp = sub.add_parser("info", help="index statistics")
     sp.add_argument("--index", required=True)

@@ -999,6 +999,101 @@ def q_substring_spans(sf_dir: str):
     return scored_substring_edges(docs, cfg, num_partitions=8)
 
 
+def q_annotated_docs(sf_dir: str):
+    """Annotate mode end-to-end (M7 analog, mode_annotate.cpp:238-311):
+    per-lang census as the mapping, broadcast lookup, vectorized header
+    rewrite — every doc gains header = source|lang|n_lang."""
+    from metacache_mpi_ray.pipelines.annotate import annotate_counts
+
+    ds = _documents(sf_dir, columns=["doc_id", "source", "lang"])
+    out = annotate_counts(ds, key_col="lang", header_cols=["source", "lang"])
+    return out.select_columns(["doc_id", "header"])
+
+
+def q_simhash_dup_pairs_planted(sf_dir: str):
+    """SimHash dedup over the planted corpus: exact copies are the only
+    pairs within the Hamming radius (distinct planted texts sit ~32
+    bits apart), so the bit-exact pair list is SQL-derivable — the
+    planted-oracle trick applied to the SimHash family."""
+    from metacache_mpi_ray.stages.simhash import simhash_dedup
+
+    docs = _planted_token_corpus(sf_dir)
+    return simhash_dedup(docs, CFG, num_partitions=8)
+
+
+def _planted_band_stats(sf_dir: str):
+    from metacache_mpi_ray.stages.banding import compute_bands
+    from metacache_mpi_ray.stages.candidates import bucket_stats
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+
+    docs = _planted_token_corpus(sf_dir)
+    sigs = compute_signatures(docs, CFG, batch_size=128)
+    return bucket_stats(compute_bands(sigs, CFG), ["band_id", "band_hash"])
+
+
+def q_band_census_planted(sf_dir: str):
+    """A8 census with an exact oracle: on the planted corpus every
+    (band, bucket) holds one distinct text group — copies give size-2
+    buckets, everything else size 1, in every one of the 32 bands."""
+    return _planted_band_stats(sf_dir).groupby("bucket_size").aggregate(
+        Count(alias_name="n_buckets")
+    )
+
+
+def q_bucket_moments_planted(sf_dir: str):
+    """A9 moments with an exact oracle: integer power sums over the
+    planted bucket-size distribution (32 bands x {1,2}-sized buckets)."""
+    from metacache_mpi_ray.stages.stats import grouped_moments
+
+    out = grouped_moments(_planted_band_stats(sf_dir), None, "bucket_size")
+    return out.select_columns(["n", "sum_x", "sum_x2", "sum_x3"])
+
+
+def _planted_embeddings(sf_dir: str, d: int = 8):
+    """SQL-reproducible embedding table over the embeddings vec_id
+    universe: dim (vec_id % d) carries weight 100, every other dim j
+    carries (vec_id + j) % 3 — integer-valued doubles, so engine and
+    DuckDB compute bit-identical dot products and the cosine RANKING is
+    deterministic across both."""
+    ids_ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        mat = ((ids[:, None] + np.arange(d)[None, :]) % 3).astype(np.float64)
+        mat[np.arange(n), ids % d] = 100.0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), type=pa.float64()), d
+                ),
+            }
+        )
+
+    return ids_ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_ivf_topk_planted(sf_dir: str):
+    """IVF approximate top-k with an exact oracle: planted cluster
+    structure (8 well-separated directions) and nprobe = n_cells make
+    the IVF path exhaustive by construction, so its output must equal
+    brute-force cosine top-k — which IS SQL-expressible. Exercises the
+    full train/assign/probe machinery end-to-end."""
+    import pyarrow.parquet as pq
+
+    from metacache_mpi_ray.stages.ann import ivf_topk
+
+    emb = _planted_embeddings(sf_dir)
+    qids = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .to_pandas()["vec_id"]
+        .nsmallest(4)
+        .tolist()
+    )
+    return ivf_topk(emb, qids, k=3, n_cells=8, nprobe=8, train_sample=512)
+
+
 # Ordered so the flagship evidence chain runs FIRST: the driver records
 # queries in dict order, and round 2 lost its embedding_near_dup row to
 # an end-of-suite cutoff. If anything gets truncated now it is the cheap
@@ -1010,10 +1105,15 @@ QUERIES = {
     "minhash_clusters_planted": q_minhash_clusters_planted,
     "query_vs_index": q_query_vs_index,
     "dedup_eval_planted": q_dedup_eval_planted,
+    "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
+    "ivf_topk_planted": q_ivf_topk_planted,
+    "band_census_planted": q_band_census_planted,
+    "bucket_moments_planted": q_bucket_moments_planted,
     "merged_dedup_runs": q_merged_dedup_runs,
     "cluster_lcs": q_cluster_lcs,
     "exact_dedup_groups": q_exact_dedup_groups,
     "dedup_eval": q_dedup_eval,
+    "annotated_docs": q_annotated_docs,
     # -- headline rows-only pipelines --
     "minhash_clusters": q_minhash_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1238,6 +1338,61 @@ ORACLE_SQL = {
         "  FROM documents WHERE doc_id % 5 = 0) "
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
         "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    "annotated_docs": (
+        "WITH m AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang) "
+        "SELECT d.doc_id, d.source || '|' || d.lang || '|' || CAST(m.n_lang AS VARCHAR) "
+        "AS header FROM documents d JOIN m USING (lang)"
+    ),
+    "simhash_dup_pairs_planted": (
+        "SELECT doc_id AS a, doc_id + 1000000000 AS b, CAST(0 AS BIGINT) AS hamming "
+        "FROM documents WHERE doc_id % 5 = 0"
+    ),
+    "band_census_planted": (
+        # one bucket per (band, distinct planted text); 32 bands; copies
+        # (doc_id % 5 = 0 sources) double their bucket
+        "SELECT CAST(1 AS BIGINT) AS bucket_size, "
+        "CAST(32 * (count(*) - count(CASE WHEN doc_id % 5 = 0 THEN 1 END)) AS BIGINT) "
+        "AS n_buckets FROM documents "
+        "UNION ALL "
+        "SELECT CAST(2 AS BIGINT), "
+        "CAST(32 * count(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS BIGINT) FROM documents"
+    ),
+    "bucket_moments_planted": (
+        # sizes: 32*(n - c) ones and 32*c twos, exact integer power sums
+        "WITH s AS (SELECT count(*) AS n, "
+        "count(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS c FROM documents) "
+        "SELECT CAST(32 * n AS BIGINT) AS n, "
+        "CAST(32 * (n + c) AS BIGINT) AS sum_x, "
+        "CAST(32 * (n + 3 * c) AS BIGINT) AS sum_x2, "
+        "CAST(32 * (n + 7 * c) AS BIGINT) AS sum_x3 FROM s"
+    ),
+    "ivf_topk_planted": (
+        # brute-force cosine top-3 over the planted integer-valued
+        # vectors (dim id%8 = 100, dim j = (id+j)%3), excluding self;
+        # nprobe = n_cells makes the engine's IVF exhaustive, so ranks
+        # must agree exactly (ties broken by neighbor id on both sides)
+        "WITH ids AS (SELECT vec_id FROM embeddings), "
+        "q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 4), "
+        "comp AS (SELECT vec_id, j, CASE WHEN j = vec_id % 8 THEN 100.0 "
+        "  ELSE CAST((vec_id + j) % 3 AS DOUBLE) END AS v "
+        "  FROM ids, UNNEST(range(8)) AS t(j)), "
+        "nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM comp GROUP BY vec_id), "
+        "sims AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id, "
+        "  sum(ca.v * cb.v) / (na.nv * nb2.nv) AS sim "
+        "  FROM q JOIN ids qa ON qa.vec_id = q.qid "
+        "  CROSS JOIN ids nb "
+        "  JOIN comp ca ON ca.vec_id = qa.vec_id "
+        "  JOIN comp cb ON cb.vec_id = nb.vec_id AND cb.j = ca.j "
+        "  JOIN nrm na ON na.vec_id = qa.vec_id "
+        "  JOIN nrm nb2 ON nb2.vec_id = nb.vec_id "
+        "  WHERE nb.vec_id <> qa.vec_id "
+        "  GROUP BY qa.vec_id, nb.vec_id, na.nv, nb2.nv), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
+        "  FROM sims) "
+        "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank "
+        "FROM ranked WHERE rank <= 3"
     ),
     "merged_dedup_runs": (
         "WITH corpus AS ("

@@ -78,6 +78,22 @@ class Taxonomy:
             raise KeyError("unknown taxon id(s)")
         return pos
 
+    def ancestor(self, nodes: np.ndarray, rank: str) -> np.ndarray:
+        """Vectorized ancestor-at-rank (candidates.h:273-276 analog):
+        each node's ancestor at ``rank``, or the node itself when it has
+        none there (the reference keeps cand.tax when db.ancestor
+        returns null — nodes at or above the target rank)."""
+        nodes = np.asarray(nodes, dtype=np.int64)
+        d = self.rank_names.index(rank)
+        anc = self.lineage[self._rows(nodes), d]
+        return np.where(anc >= 0, anc, nodes)
+
+    def depth_of(self, nodes: np.ndarray) -> np.ndarray:
+        """Deepest set rank index per node (its own rank depth)."""
+        lin = self.lineage[self._rows(np.asarray(nodes, dtype=np.int64))]
+        set_ = lin >= 0
+        return set_.shape[1] - 1 - set_[:, ::-1].argmax(axis=1)
+
     def ranked_lca(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """Vectorized pairwise LCA node ids (deepest rank where the two
         cached lineages agree and are set; root if none)."""

@@ -57,3 +57,42 @@ def test_cli_build_query_info_dedup_merge(tmp_path, corpus_dir, capsys):
     m = pq.read_table(out_m).to_pandas().sort_values("doc_id")
     dd = d.to_pandas().sort_values("doc_id")
     assert (m["cluster_id"].values == dd["cluster_id"].values).all()
+
+
+def test_cli_annotate_and_pipeline(tmp_path, corpus_dir, capsys):
+    """Annotate mode (M7 analog): mapping lookup + header rewrite, with
+    unmapped keys kept as 'NA' like the reference's miss handling."""
+    import pandas as pd
+    import ray.data as rd
+
+    from metacache_mpi_ray.__main__ import main
+    from metacache_mpi_ray.pipelines.annotate import annotate_docs
+
+    # library-level: missing keys annotate as NA, ints stay ints
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["en", "de", "xx"]})
+    )
+    mapping = pd.DataFrame({"lang": ["en", "de"], "n": [7, 9]})
+    out = annotate_docs(
+        docs, mapping, on="lang", annotation_col="n", header_cols=["lang"]
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["header"]))
+    assert got == {1: "en|7", 2: "de|9", 3: "xx|NA"}
+
+    # CLI surface over the corpus pages
+    mp = str(tmp_path / "mapping.parquet")
+    pd.DataFrame(
+        {"lang": ["en", "de", "fr", "es", "zh"], "label": list("ABCDE")}
+    ).to_parquet(mp)
+    out_a = str(tmp_path / "aout")
+    rc = main(
+        ["annotate", "--pages", f"{corpus_dir}/pages", "--mapping", mp,
+         "--key", "lang", "--annotation", "label",
+         "--header-cols", "url,lang", "--out", out_a]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["docs"] == 500
+    written = pq.read_table(out_a).to_pandas()
+    assert "header" in written.columns
+    assert written["header"].str.count("\\|").min() >= 2
