@@ -1094,6 +1094,82 @@ def q_ivf_topk_planted(sf_dir: str):
     return ivf_topk(emb, qids, k=3, n_cells=8, nprobe=8, train_sample=512)
 
 
+def q_rank_merge_planted(sf_dir: str):
+    """Rank-aware candidate merge + bounded insert + threshold classify
+    (candidates.h:90-102,191-289 / classification.cpp:227-262) over a
+    planted hierarchy derived from the documents table: root -> lang ->
+    (lang, source) -> doc. Each doc queries with three candidates — its
+    own doc node (merged below to its (lang, source) node), its (lang,
+    source) node, and its lang node — with hits arithmetic on doc_id,
+    so the merged top-2 list, the hitsMin/hitsDiff threshold and the
+    ranked LCA are all closed-form in SQL."""
+    from metacache_mpi_ray.stages.rankmerge import classify_merged, merge_candidates
+    from metacache_mpi_ray.stages.taxonomy import Taxonomy
+
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "source"]).materialize()
+    dims = (
+        docs.groupby(["lang", "source"]).aggregate(Count(alias_name="__n")).to_pandas()
+    )
+    langs = sorted(dims["lang"].unique())
+    lnode = {l: 101 + i for i, l in enumerate(langs)}
+    pairs = sorted(zip(dims["lang"], dims["source"]))
+    snode = {p: 1001 + i for i, p in enumerate(pairs)}
+
+    doc_tab = docs.to_pandas()
+    import pandas as pd
+
+    nodes = pd.DataFrame(
+        {
+            "node_id": [1]
+            + [lnode[l] for l in langs]
+            + [snode[p] for p in pairs]
+            + (10000 + doc_tab["doc_id"]).tolist(),
+            "parent_id": [1]
+            + [1] * len(langs)
+            + [lnode[l] for l, _ in pairs]
+            + [
+                snode[(l, s)]
+                for l, s in zip(doc_tab["lang"], doc_tab["source"])
+            ],
+            "rank": ["root"]
+            + ["lang"] * len(langs)
+            + ["src"] * len(pairs)
+            + ["doc"] * len(doc_tab),
+        }
+    )
+    tax = Taxonomy.from_edges(nodes, ["root", "lang", "src", "doc"])
+
+    import ray
+
+    lref = ray.put((lnode, snode))
+
+    def emit(t: pa.Table) -> pa.Table:
+        ln, sn = ray.get(lref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs_ = t["lang"].to_pylist()
+        srcs_ = t["source"].to_pylist()
+        l_ids = np.fromiter((ln[x] for x in langs_), dtype=np.int64, count=len(ids))
+        s_ids = np.fromiter(
+            (sn[(l, s)] for l, s in zip(langs_, srcs_)), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(np.tile(ids, 3), type=pa.int64()),
+                "node_id": pa.array(
+                    np.concatenate([10000 + ids, s_ids, l_ids]), type=pa.int64()
+                ),
+                "hits": pa.array(
+                    np.concatenate([4 + ids % 7, 2 + ids % 3, 3 + ids % 5]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    cand = docs.map_batches(emit, batch_format="pyarrow")
+    topk = merge_candidates(cand, tax, merge_below="src", max_candidates=2)
+    return classify_merged(topk, tax, hits_min=4, hits_diff_fraction=0.5)
+
+
 # Ordered so the flagship evidence chain runs FIRST: the driver records
 # queries in dict order, and round 2 lost its embedding_near_dup row to
 # an end-of-suite cutoff. If anything gets truncated now it is the cheap
@@ -1106,6 +1182,7 @@ QUERIES = {
     "query_vs_index": q_query_vs_index,
     "dedup_eval_planted": q_dedup_eval_planted,
     "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
+    "rank_merge_planted": q_rank_merge_planted,
     "ivf_topk_planted": q_ivf_topk_planted,
     "band_census_planted": q_band_census_planted,
     "bucket_moments_planted": q_bucket_moments_planted,
@@ -1347,6 +1424,30 @@ ORACLE_SQL = {
     "simhash_dup_pairs_planted": (
         "SELECT doc_id AS a, doc_id + 1000000000 AS b, CAST(0 AS BIGINT) AS hamming "
         "FROM documents WHERE doc_id % 5 = 0"
+    ),
+    "rank_merge_planted": (
+        # planted hierarchy: lang nodes 101+, (lang, source) nodes 1001+
+        # (dense ranks over sorted values); doc candidates merge below
+        # to their (lang, source) node (hits pooled by max); top-2 by
+        # hits desc then node id; hitsMin=4, hitsDiffFraction=0.5; LCA
+        # of {src under lang, lang} is the lang node
+        "WITH lr AS (SELECT lang, 100 + CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) "
+        "  AS lnode FROM (SELECT DISTINCT lang FROM documents)), "
+        "sr AS (SELECT lang, source, 1000 + CAST(dense_rank() OVER (ORDER BY lang, source) AS BIGINT) "
+        "  AS snode FROM (SELECT DISTINCT lang, source FROM documents)), "
+        "base AS (SELECT d.doc_id, lr.lnode, sr.snode, "
+        "  GREATEST(4 + d.doc_id % 7, 2 + d.doc_id % 3) AS hs, "
+        "  3 + d.doc_id % 5 AS hl "
+        "  FROM documents d JOIN lr USING (lang) "
+        "  JOIN sr ON sr.lang = d.lang AND sr.source = d.source) "
+        "SELECT doc_id AS query_id, "
+        "CASE WHEN hs > hl THEN snode ELSE lnode END AS best_node, "
+        "CAST(GREATEST(hs, hl) AS BIGINT) AS best_hits, "
+        "CASE WHEN LEAST(hs, hl) > (GREATEST(hs, hl) - 4) * 0.5 "
+        "  THEN lnode "
+        "  ELSE CASE WHEN hs > hl THEN snode ELSE lnode END END AS lca_node, "
+        "GREATEST(hs, hl) >= 4 AS classified "
+        "FROM base"
     ),
     "band_census_planted": (
         # one bucket per (band, distinct planted text); 32 bands; copies

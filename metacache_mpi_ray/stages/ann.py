@@ -193,6 +193,130 @@ def ivf_topk(
     return brute_force_topk(candidates, query_ids, k)
 
 
+def build_ivf_index(
+    embeddings,
+    out_dir: str,
+    *,
+    n_cells: int = 16,
+    seed: int = 3,
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Write a cell-partitioned IVF index: train the coarse quantizer
+    (driver-side k-means on a hash-spread sample), assign every vector
+    to its nearest centroid in map_batches, and write ONE parquet
+    partition directory per cell (``cell=K/``). Centroids persist next
+    to the data, so queries prune at the READ — ``ivf_topk_indexed``
+    lists only the nprobe cell directories instead of full-scan
+    filtering (round-2's ivf_topk read every row and filtered after).
+    Returns the (n_cells, d) centroid matrix."""
+    import json
+    import os
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (splitmix64(ids.view(U64) ^ U64(seed)) & U64(7)) == 0
+        return t.filter(pa.array(keep))
+
+    samp = embeddings.map_batches(hash_sample, batch_format="pyarrow").limit(
+        train_sample
+    ).to_pandas()
+    if len(samp) == 0:
+        samp = embeddings.limit(train_sample).to_pandas()
+    smat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in samp["embedding"]])
+    )
+    cent = _normalize(_kmeans(smat, n_cells, seed))
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(_emb_matrix(batch["embedding"]))
+        cells = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells, type=pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    embeddings.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    with open(os.path.join(out_dir, "ivf.json"), "w") as f:
+        json.dump({"n_cells": int(len(cent)), "d": int(cent.shape[1]),
+                   "seed": seed}, f)
+    return cent
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    query_ids,
+    query_mat: np.ndarray,
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    stats_out: dict | None = None,
+):
+    """Approximate top-k against a ``build_ivf_index`` directory: only
+    the union of each query's nprobe nearest cell partitions is READ —
+    storage-level pruning, the property that matters at 100 TB where a
+    full scan per query batch is the cost ceiling. ``stats_out`` (if
+    given) receives probed/total file counts and bytes so callers and
+    tests can assert the pruning actually happened."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    probe_cells = np.unique(qcells)
+
+    def cell_files(c: int) -> list[str]:
+        return sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+
+    probe_files = [f for c in probe_cells.tolist() for f in cell_files(c)]
+    if stats_out is not None:
+        all_files = sorted(
+            glob.glob(os.path.join(index_dir, "cell=*", "*.parquet"))
+        )
+        stats_out.update(
+            {
+                "probed_cells": probe_cells.tolist(),
+                "probed_files": len(probe_files),
+                "total_files": len(all_files),
+                "probed_bytes": sum(os.path.getsize(f) for f in probe_files),
+                "total_bytes": sum(os.path.getsize(f) for f in all_files),
+            }
+        )
+    candidates = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
+    queries_ref = ray.put(
+        {"ids": np.asarray(query_ids, dtype=np.int64), "mat": qmat}
+    )
+    from metacache_mpi_ray.functions.resources import default_actor_concurrency
+
+    partials = candidates.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_actor_concurrency(reserve=2),
+        num_cpus=1,
+    )
+    import pandas as pd
+
+    pdf = partials.to_pandas()
+    pdf = pdf.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    pdf = pdf.groupby("query_id", as_index=False).head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return rd.from_arrow(
+        pa.Table.from_pandas(
+            pdf[["query_id", "neighbor_id", "rank"]].reset_index(drop=True),
+            preserve_index=False,
+        )
+    )
+
+
 def hyperplane_codes(mat: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     """Random-hyperplane sign pattern -> int64 bucket code per row."""
     d = mat.shape[1]

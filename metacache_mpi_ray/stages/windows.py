@@ -115,7 +115,13 @@ def topk_per_group(
         )
         frags = frags.groupby(group_col, sort=False).head(k)
         frags["rank"] = frags.groupby(group_col, sort=False).cumcount() + 1
-        final = final.union(rd.from_pandas(frags[out_cols].reset_index(drop=True)))
+        final = final.union(
+            rd.from_arrow(
+                pa.Table.from_pandas(
+                    frags[out_cols].reset_index(drop=True), preserve_index=False
+                )
+            )
+        )  # arrow block: downstream sorts reject mixed block types
     return final
 
 
@@ -264,7 +270,9 @@ def sessionize(ds, group_col: str, ts_col: str, gap_us: int = 1800_000_000):
             )
             .reset_index()
         )
-        final = final.union(rd.from_pandas(agg[out_cols]))
+        final = final.union(
+            rd.from_arrow(pa.Table.from_pandas(agg[out_cols], preserve_index=False))
+        )  # arrow block: downstream sorts reject mixed block types
     return final
 
 
@@ -318,7 +326,9 @@ def collect_members(ds, key_col: str, id_col: str):
             .agg(rep_id=("rep_id", "min"), members=("members", ",".join))
             .reset_index()
         )
-        final = final.union(rd.from_pandas(agg[out_cols]))
+        final = final.union(
+            rd.from_arrow(pa.Table.from_pandas(agg[out_cols], preserve_index=False))
+        )  # arrow block: downstream sorts reject mixed block types
     return final
 
 
@@ -429,7 +439,9 @@ def quantile_per_group(ds, group_col: str, value_col: str, q: float):
             .apply(lambda s: s.iloc[int(np.floor(q * (len(s) - 1)))])
             .reset_index()
         )
-        final = final.union(rd.from_pandas(agg[out_cols]))
+        final = final.union(
+            rd.from_arrow(pa.Table.from_pandas(agg[out_cols], preserve_index=False))
+        )  # arrow block: downstream sorts reject mixed block types
     return final
 
 

@@ -316,3 +316,50 @@ def test_verify_pairs_payload_auto_spills_to_join():
         num_partitions=2,
     ).to_pandas()
     assert set(zip(out["a"], out["b"], out["dist"])) == {(1, 2, 0)}
+
+
+def test_ivf_indexed_prunes_reads_and_keeps_recall(tmp_path):
+    """Cell-partitioned IVF: the probe must READ only nprobe cell
+    directories (byte-level pruning assertion) and still find the true
+    neighbors of well-separated clusters."""
+    from metacache_mpi_ray.stages.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rng2 = np.random.default_rng(31)
+    d, n_clusters, per = 16, 8, 30
+    centers = rng2.normal(size=(n_clusters, d)) * 5
+    vecs = np.concatenate(
+        [centers[c] + rng2.normal(scale=0.05, size=(per, d)) for c in range(n_clusters)]
+    )
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    emb = rd.from_arrow(tab)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=n_clusters, seed=5, train_sample=512)
+
+    qids = [0, 35, 70]
+    qmat = vecs[qids]
+    stats = {}
+    got = ivf_topk_indexed(
+        idx, qids, qmat, k=3, nprobe=2, stats_out=stats
+    ).to_pandas()
+    # read pruning really happened, at the byte level
+    assert stats["probed_files"] < stats["total_files"]
+    assert stats["probed_bytes"] < stats["total_bytes"]
+    assert len(stats["probed_cells"]) <= 3 * 2
+    # same answers as global brute force (clusters are well separated,
+    # so every true neighbor lives in the query's own probed cell)
+    want = brute_force_topk(emb, query_ids=qids, k=3, concurrency=2).to_pandas()
+    key = lambda df: set(zip(df["query_id"], df["neighbor_id"], df["rank"]))
+    assert key(got) == key(want)
