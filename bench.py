@@ -148,9 +148,10 @@ def run_bench() -> dict:
         idx_root,
         num_partitions=num_partitions,
     )
+    n_batch = min(10000, BENCH_DOCS)
     new_batch = rd.read_parquet(
         f"{corpus}/pages", columns=["url", "html", "text"]
-    ).limit(10000)
+    ).limit(n_batch)
 
     def variant(t):
         import pyarrow.compute as _pc
@@ -165,7 +166,7 @@ def run_bench() -> dict:
     t0 = time.time()
     n_q = query_against_index(b_docs, idx_root, num_partitions=num_partitions).count()
     queries["incremental_query"] = round(time.time() - t0, 3)
-    assert n_q == 10000
+    assert n_q == n_batch
 
     from metacache_mpi_ray.pipelines.queries import (
         q_simhash_dup_pairs,

@@ -128,6 +128,28 @@ def _band_keys(sigs, cfg: DedupConfig, id_out: str):
     ).rename_columns({"doc_id": id_out})
 
 
+@ray.remote
+def _assemble_sorted_unique(col: str, *tabs):
+    """Sorted unique values of ``col`` over blocks, as one task."""
+    parts = [t[col].to_numpy(zero_copy_only=False) for t in tabs if len(t)]  # len guard: empty blocks can be schema-less
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+@ray.remote
+def _assemble_sorted_pairs(key_col: str, val_col: str, *tabs):
+    """(keys_sorted, values) lookup arrays over blocks, as one task."""
+    ks = [t[key_col].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+    vs = [t[val_col].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+    if not ks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    k = np.concatenate(ks).astype(np.int64)
+    v = np.concatenate(vs).astype(np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
 def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None):
     """(bkey, id, side) rows -> (new x stored) candidate pairs (a=new,
     b=stored) per band bucket: ONE ``sort("bkey")`` range shuffle, a
@@ -319,18 +341,13 @@ def query_against_index(
     ).materialize()
 
     # matched stored docs -> their cluster ids: broadcast-pick the
-    # matched subset of the clusters checkpoint (dup-subset pattern)
-    matched_idx = np.unique(
-        np.concatenate(
-            [
-                b["b"].to_numpy(zero_copy_only=False)
-                for b in verified.iter_batches(batch_size=262144, batch_format="pyarrow")
-            ]
-            or [np.empty(0, dtype=np.int64)]
-        )
+    # matched subset of the clusters checkpoint (dup-subset pattern);
+    # both assemblies run as single tasks over the materialized blocks —
+    # only refs touch the driver (round-3 serial-overhead trim)
+    mref = _assemble_sorted_unique.remote(
+        "b", *(verified.to_arrow_refs() or [])
     )
     clusters_idx = _read_stage(ckpt_root, "clusters", columns=["doc_id", "cluster_id"])
-    mref = ray.put(matched_idx)
 
     def pick(t: pa.Table) -> pa.Table:
         w = ray.get(mref)
@@ -338,12 +355,10 @@ def query_against_index(
         _, found = lookup_sorted(w, ids)
         return t.filter(pa.array(found))
 
-    sub = clusters_idx.map_batches(pick, batch_format="pyarrow").to_pandas()
-    idx_sorted = sub["doc_id"].to_numpy(dtype=np.int64)
-    order = np.argsort(idx_sorted)
-    idx_sorted = idx_sorted[order]
-    idx_cluster = sub["cluster_id"].to_numpy(dtype=np.int64)[order]
-    cref = ray.put((idx_sorted, idx_cluster))
+    sub = clusters_idx.map_batches(pick, batch_format="pyarrow")
+    cref = _assemble_sorted_pairs.remote(
+        "doc_id", "cluster_id", *(sub.to_arrow_refs() or [])
+    )
 
     def to_cluster(t: pa.Table) -> pa.Table:
         ids_s, cl = ray.get(cref)

@@ -533,6 +533,22 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_lang_id_trigram(sf_dir: str):
+    """Character-trigram language ID (26+ languages incl. script
+    detection; VERDICT r2 item 10) — profiles build once per actor."""
+    from metacache_mpi_ray.functions.resources import default_actor_concurrency
+    from metacache_mpi_ray.stages.langid import TrigramLangId
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        TrigramLangId,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_actor_concurrency(reserve=2, cap=8),
+        num_cpus=1,
+    )
+
+
 def q_substring_candidates(sf_dir: str):
     from metacache_mpi_ray.stages.substring import anchor_candidates
 
@@ -1236,6 +1252,7 @@ QUERIES = {
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
     "lang_id": q_lang_id,
+    "lang_id_trigram": q_lang_id_trigram,
 }
 
 

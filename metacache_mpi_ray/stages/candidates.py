@@ -195,7 +195,13 @@ def bucket_edges(
                 {"a": extra["gmin"].astype("int64"), "b": extra["a"].astype("int64")}
             ).drop_duplicates()
             if len(extra_df):
-                edges = edges.union(ray.data.from_pandas(extra_df))
+                # arrow block, matching the main edge stream (mixed
+                # block types break downstream sorts and to_arrow_refs)
+                edges = edges.union(
+                    ray.data.from_arrow(
+                        pa.Table.from_pandas(extra_df, preserve_index=False)
+                    )
+                )
     # materialize: the edge list is consumed several times downstream
     # (count, endpoint collection, scoring) and re-executing a
     # filter+union lineage per consumer both wastes work and has shown

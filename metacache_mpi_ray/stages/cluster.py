@@ -23,12 +23,30 @@ import ray
 from ray.data.aggregate import Min
 
 
+@ray.remote
+def _uf_task(*tabs):
+    """Union-find over edge blocks as ONE task: the edge bytes and the
+    label table never cross the driver heap (round-3 — the driver-side
+    edge streaming was part of the fixed serial slice of a 2-CPU run);
+    the task's return object is the broadcast the assigners read."""
+    from metacache_mpi_ray.state.unionfind import connected_components_arrays
+
+    a = [t["a"].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+    b = [t["b"].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+    if not a:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return connected_components_arrays(np.concatenate(a), np.concatenate(b))
+
+
 def assign_clusters(docs, edges, *, id_col: str = "doc_id"):
     """docs + verified edges -> clusters dataset (doc_id, cluster_id, is_dup)."""
-    from metacache_mpi_ray.state.unionfind import labels_arrays_from_edges
-
-    nodes, labels = labels_arrays_from_edges(edges)
-    labels_ref = ray.put((nodes, labels))
+    refs = edges.to_arrow_refs()
+    if refs:
+        labels_ref = _uf_task.remote(*refs)
+    else:
+        labels_ref = ray.put(
+            (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        )
 
     def assign(batch: pa.Table) -> pa.Table:
         nodes_s, labs = ray.get(labels_ref)

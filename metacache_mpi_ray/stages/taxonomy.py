@@ -153,27 +153,31 @@ def ranked_lca_classify(cand, anchor_col: str, lineage_cols: list[str]):
     rank_names = list(lineage_cols)
 
     def decide(t: pa.Table) -> pa.Table:
-        keep = t["has_self"].to_numpy(zero_copy_only=False) > 0
-        t = t.filter(pa.array(keep))
+        """Arrow-kernel decide (round-3: was to_pylist + per-row rsplit —
+        O(anchors) Python on a table with one row per anchor, which is
+        NOT small when anchors ~ corpus size)."""
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t["has_self"], 0))
         n = len(t)
-        rank = np.full(n, "root", dtype=object)
-        node = np.full(n, "root", dtype=object)
-        decided = np.zeros(n, dtype=bool)
-        # deepest rank first
+        rank = pa.array(np.full(n, "root"), type=pa.string())
+        node = pa.array(np.full(n, "root"), type=pa.string())
+        decided = pa.array(np.zeros(n, dtype=bool))
+        # deepest rank first; node label = last path component
         for i in range(n_ranks - 1, -1, -1):
-            mn = np.asarray(t[f"min{i}"].to_pylist(), dtype=object)
-            mx = np.asarray(t[f"max{i}"].to_pylist(), dtype=object)
-            hit = (~decided) & (mn == mx)
-            if hit.any():
-                rank[hit] = rank_names[i]
-                # node label = last path component
-                node[hit] = [s.rsplit("/", 1)[-1] for s in mn[hit]]
-                decided |= hit
+            mn, mx = t[f"min{i}"], t[f"max{i}"]
+            hit = pc.and_(pc.invert(decided), pc.equal(mn, mx))
+            last = pc.struct_field(
+                pc.extract_regex(mn, pattern=r"(?P<x>[^/]*)$"), "x"
+            )
+            rank = pc.if_else(hit, rank_names[i], rank)
+            node = pc.if_else(hit, last, node)
+            decided = pc.or_(decided, hit)
         return pa.table(
             {
                 anchor_col: t[anchor_col],
-                "lca_rank": pa.array(rank.tolist(), type=pa.string()),
-                "lca_node": pa.array(node.tolist(), type=pa.string()),
+                "lca_rank": rank,
+                "lca_node": node,
             }
         )
 
@@ -201,7 +205,11 @@ def redistribute_counts(
     integers (est_num = n_direct * (total_direct + coarse_count)).
 
     Both aggregations are distributed; the final join runs over the
-    (small) node tables.
+    node tables, which are bounded by the number of DISTINCT leaf
+    paths (lang x source here — thousands), not by row count. At a
+    host-level hierarchy (10^7+ leaves) replace the two to_pandas()
+    merges with a Dataset join on coarse_cols — the groupby outputs
+    are already Datasets, only the merge below is driver-side.
     """
     coarse_cols = leaf_cols[:-1]
 

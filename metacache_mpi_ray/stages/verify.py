@@ -52,33 +52,67 @@ def _edge_doc_ids(edges) -> np.ndarray:
     return np.unique(np.concatenate(ids))
 
 
-def _collect_sig_subset(signatures, wanted: np.ndarray, n_perms: int):
-    """(sorted_ids, sig_matrix) for the wanted doc_ids, streamed."""
-    ref = ray.put(wanted)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if len(w) == 0:
-            mask = np.zeros(len(ids), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
-            mask = w[pos] == ids
-        return batch.filter(pa.array(mask))
-
-    sub = signatures.select_columns(["doc_id", "sig"]).map_batches(
-        pick, batch_format="pyarrow"
+@ray.remote(num_returns=2)
+def _assemble_edge_ids(*tabs):
+    """(count, sorted unique edge-endpoint ids) from edge blocks — runs
+    as ONE task so the edge bytes never cross the driver heap (the
+    round-2 version pulled every batch through iter_batches, a serial
+    driver cost that scales with the dup subset)."""
+    ids = []
+    for t in tabs:
+        if len(t) == 0:  # empty blocks can arrive schema-less
+            continue
+        ids.append(t["a"].to_numpy(zero_copy_only=False))
+        ids.append(t["b"].to_numpy(zero_copy_only=False))
+    w = (
+        np.unique(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
     )
+    return len(w), w
+
+
+def _edge_doc_ids_ref(edges):
+    """(count, ObjectRef of sorted unique endpoint ids): driver sees
+    only the count; the id array stays in the object store."""
+    refs = edges.to_arrow_refs()
+    if not refs:
+        empty = np.empty(0, dtype=np.int64)
+        return 0, ray.put(empty)
+    n_ref, w_ref = _assemble_edge_ids.remote(*refs)
+    return int(ray.get(n_ref)), w_ref
+
+
+@ray.remote
+def _assemble_sig_subset(n_perms: int, *tabs):
+    """(id-sorted ids, signature matrix) from filtered signature blocks
+    — off-driver assembly; the task's return object IS the broadcast."""
+    from metacache_mpi_ray.stages.signatures import sig_from_arrow
+
     ids_out, sig_out = [], []
-    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids_out.append(b["doc_id"].to_numpy(zero_copy_only=False))
-        sig_out.append(sig_from_arrow(b["sig"]))
+    for t in tabs:
+        if len(t) == 0:  # empty blocks can arrive schema-less
+            continue
+        ids_out.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        sig_out.append(sig_from_arrow(t["sig"]))
     if not ids_out:
         return np.empty(0, dtype=np.int64), np.empty((0, n_perms), dtype=np.uint64)
     ids_all = np.concatenate(ids_out)
     sig_all = np.concatenate(sig_out, axis=0)
     order = np.argsort(ids_all)
     return ids_all[order], sig_all[order]
+
+
+def _collect_sig_subset_ref(signatures, wanted_ref, n_perms: int):
+    """ObjectRef[(ids_sorted, sig_matrix)] for the edge-endpoint doc
+    ids: filter distributed, assemble in one task, never on the driver."""
+    sub = signatures.select_columns(["doc_id", "sig"]).map_batches(
+        filter_to_ids("doc_id", wanted_ref), batch_format="pyarrow"
+    )
+    refs = sub.to_arrow_refs()
+    if not refs:
+        return ray.put(
+            (np.empty(0, dtype=np.int64), np.empty((0, n_perms), dtype=np.uint64))
+        )
+    return _assemble_sig_subset.remote(n_perms, *refs)
 
 
 def filter_to_ids(id_col: str, wanted_ref):
@@ -272,22 +306,25 @@ def verify_edges(
     raw edge count: edges over-count the subset by the per-pair band
     multiplicity, and the join fallback costs two full hash shuffles of
     the signature table, so it should engage only when the subset
-    genuinely can't ride in one broadcast object."""
+    genuinely can't ride in one broadcast object. Endpoint-id and
+    subset assembly both run as single tasks over the materialized
+    blocks — the driver handles counts and refs only (round-3: the
+    driver-heap round trip was the dominant serial slice of a 2-CPU
+    run)."""
     if strategy == "auto":
-        wanted = _edge_doc_ids(edges)
-        if len(wanted) * cfg.n_perms * 8 <= broadcast_bytes_limit:
-            return _verify_broadcast(edges, signatures, cfg, wanted=wanted)
+        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
+        if n_wanted * cfg.n_perms * 8 <= broadcast_bytes_limit:
+            return _verify_broadcast(edges, signatures, cfg, wanted_ref=wanted_ref)
         return _verify_join(edges, signatures, cfg, num_partitions)
     if strategy == "broadcast":
         return _verify_broadcast(edges, signatures, cfg)
     return _verify_join(edges, signatures, cfg, num_partitions)
 
 
-def _verify_broadcast(edges, signatures, cfg: DedupConfig, wanted=None):
-    if wanted is None:
-        wanted = _edge_doc_ids(edges)
-    ids_sorted, sig_mat = _collect_sig_subset(signatures, wanted, cfg.n_perms)
-    lookup_ref = ray.put((ids_sorted, sig_mat))
+def _verify_broadcast(edges, signatures, cfg: DedupConfig, wanted_ref=None):
+    if wanted_ref is None:
+        _, wanted_ref = _edge_doc_ids_ref(edges)
+    lookup_ref = _collect_sig_subset_ref(signatures, wanted_ref, cfg.n_perms)
     thresh = cfg.verify_threshold
 
     def score(batch: pa.Table) -> pa.Table:

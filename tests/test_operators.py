@@ -363,3 +363,54 @@ def test_ivf_indexed_prunes_reads_and_keeps_recall(tmp_path):
     want = brute_force_topk(emb, query_ids=qids, k=3, concurrency=2).to_pandas()
     key = lambda df: set(zip(df["query_id"], df["neighbor_id"], df["rank"]))
     assert key(got) == key(want)
+
+
+def test_trigram_langid_holdout_accuracy():
+    """Trigram model (>=20 Latin langs + script detection): accuracy on
+    held-out sentences must clear 0.9."""
+    from metacache_mpi_ray.stages.langid import TrigramLangId
+
+    holdout = {
+        "en": "when the morning comes we will walk down to the river and watch the water move slowly under the old bridge",
+        "de": "wenn der morgen kommt gehen wir hinunter zum fluss und schauen wie das wasser langsam unter der alten brücke fließt",
+        "fr": "quand le matin arrive nous descendons vers la rivière et regardons l'eau couler lentement sous le vieux pont",
+        "es": "cuando llega la mañana caminamos hacia el río y miramos como el agua se mueve lentamente bajo el viejo puente",
+        "it": "quando arriva il mattino camminiamo verso il fiume e guardiamo l'acqua muoversi lentamente sotto il vecchio ponte",
+        "pt": "quando chega a manhã caminhamos até o rio e observamos a água se mover lentamente sob a velha ponte",
+        "nl": "als de ochtend komt lopen wij naar de rivier en kijken hoe het water langzaam onder de oude brug stroomt",
+        "sv": "när morgonen kommer går vi ner till floden och ser vattnet röra sig långsamt under den gamla bron",
+        "fi": "kun aamu koittaa kävelemme joelle ja katsomme kuinka vesi liikkuu hitaasti vanhan sillan alla",
+        "pl": "kiedy nadchodzi poranek idziemy nad rzekę i patrzymy jak woda powoli płynie pod starym mostem",
+        "cs": "když přijde ráno jdeme k řece a díváme se jak voda pomalu teče pod starým mostem",
+        "ro": "când vine dimineața mergem spre râu și privim apa cum se mișcă încet pe sub podul vechi",
+        "hu": "amikor eljön a reggel lesétálunk a folyóhoz és nézzük ahogy a víz lassan folyik a régi híd alatt",
+        "tr": "sabah geldiğinde nehre doğru yürürüz ve suyun eski köprünün altından yavaşça akışını izleriz",
+        "id": "ketika pagi tiba kami berjalan menuju sungai dan melihat air bergerak perlahan di bawah jembatan tua",
+        "vi": "khi buổi sáng đến chúng tôi đi bộ xuống dòng sông và nhìn dòng nước chảy chậm dưới cây cầu cũ",
+        "sw": "asubuhi inapofika tunatembea hadi mtoni na kutazama maji yakisonga polepole chini ya daraja la zamani",
+        "tl": "kapag dumating ang umaga naglalakad kami papunta sa ilog at pinapanood ang tubig na dahan dahang umaagos sa ilalim ng lumang tulay",
+        "ru": "когда наступает утро мы идем к реке и смотрим как вода медленно течет под старым мостом",
+        "el": "όταν έρχεται το πρωί περπατάμε προς το ποτάμι και βλέπουμε το νερό να κυλάει αργά κάτω από την παλιά γέφυρα",
+        "he": "כאשר הבוקר מגיע אנחנו הולכים אל הנהר ומסתכלים על המים זורמים לאט מתחת לגשר הישן",
+        "ar": "عندما يأتي الصباح نمشي إلى النهر ونشاهد الماء يتحرك ببطء تحت الجسر القديم",
+        "zh": "早晨来临的时候我们走到河边看着水在老桥下慢慢流动",
+        "ko": "아침이 오면 우리는 강으로 걸어가 오래된 다리 아래로 물이 천천히 흐르는 것을 바라본다",
+        "ja": "朝が来るとわたしたちは川へあるいていき、ふるい橋の下をゆっくり流れる水をながめます",
+    }
+    scorer = TrigramLangId()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(holdout)), type=pa.int64()),
+            "text": pa.array(list(holdout.values()), type=pa.string()),
+        }
+    )
+    out = scorer(batch)
+    pred = out["pred_lang"].to_pylist()
+    want = list(holdout.keys())
+    acc = np.mean([p == w for p, w in zip(pred, want)])
+    wrong = [(w, p) for p, w in zip(pred, want) if p != w]
+    assert acc >= 0.9, wrong
+    # degenerate inputs
+    e = scorer(pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                         "text": pa.array(["", "zq"])}))
+    assert e["pred_lang"].to_pylist() == ["unknown", "unknown"]
