@@ -1110,6 +1110,33 @@ def q_ivf_topk_planted(sf_dir: str):
     return ivf_topk(emb, qids, k=3, n_cells=8, nprobe=8, train_sample=512)
 
 
+def q_substring_candidates_planted(sf_dir: str):
+    """Anchor-based substring candidates with an exact oracle: on the
+    planted corpus with anchor_mod=1 (keep every 64-char window) the
+    only shared anchors are between a doc and its exact copy, and the
+    periodic planted text 'tok<i> ' x 40 has exactly period-many
+    distinct windows — so n_bands_hit = 4 + len(str(i)) in SQL."""
+    from metacache_mpi_ray.stages.substring import anchor_candidates
+
+    docs = _planted_token_corpus(sf_dir)
+    cfg = DedupConfig(anchor_mod=1)
+    return anchor_candidates(docs, cfg, num_partitions=8)
+
+
+def q_sample_docs_hashed(sf_dir: str):
+    """Deterministic hash sampling (the scale-correct variant of
+    random_sample: reproducible across runs, partitioning and resumes)
+    — Knuth multiplicative hash on doc_id, SQL-reproducible."""
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * 2654435761) % 4294967296 < 429496730  # ~10%
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def q_rank_merge_planted(sf_dir: str):
     """Rank-aware candidate merge + bounded insert + threshold classify
     (candidates.h:90-102,191-289 / classification.cpp:227-262) over a
@@ -1199,6 +1226,8 @@ QUERIES = {
     "dedup_eval_planted": q_dedup_eval_planted,
     "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
     "rank_merge_planted": q_rank_merge_planted,
+    "substring_candidates_planted": q_substring_candidates_planted,
+    "sample_docs_hashed": q_sample_docs_hashed,
     "ivf_topk_planted": q_ivf_topk_planted,
     "band_census_planted": q_band_census_planted,
     "bucket_moments_planted": q_bucket_moments_planted,
@@ -1441,6 +1470,18 @@ ORACLE_SQL = {
     "simhash_dup_pairs_planted": (
         "SELECT doc_id AS a, doc_id + 1000000000 AS b, CAST(0 AS BIGINT) AS hamming "
         "FROM documents WHERE doc_id % 5 = 0"
+    ),
+    "substring_candidates_planted": (
+        # copies (doc_id % 5 = 0) are the only anchor-sharing pairs; the
+        # planted text 'tok<i> ' x 40 is periodic with period
+        # 4 + len(str(i)), which is exactly its distinct-window count
+        "SELECT doc_id AS a, doc_id + 1000000000 AS b, "
+        "CAST(4 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bands_hit "
+        "FROM documents WHERE doc_id % 5 = 0"
+    ),
+    "sample_docs_hashed": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE (doc_id * 2654435761) % 4294967296 < 429496730"
     ),
     "rank_merge_planted": (
         # planted hierarchy: lang nodes 101+, (lang, source) nodes 1001+
