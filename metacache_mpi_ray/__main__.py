@@ -7,6 +7,7 @@ same operations here as
     python -m metacache_mpi_ray query  --index ROOT --pages DIR --out DIR
     python -m metacache_mpi_ray dedup  --pages DIR --out DIR
     python -m metacache_mpi_ray merge  --edges DIR [--edges DIR ...] --pages DIR --out DIR
+    python -m metacache_mpi_ray repl   --index ROOT   (interactive stdin shell)
     python -m metacache_mpi_ray annotate --pages DIR --mapping FILE --key K --annotation A --header-cols C1,C2 --out DIR
     python -m metacache_mpi_ray info   --index ROOT
 
@@ -131,6 +132,23 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+def cmd_repl(args) -> int:
+    """Interactive query shell (S13 analog, mode_query.cpp:269-315):
+    each stdin line is queried against the in-RAM index; one JSON result
+    line per query. EOF or an empty line exits."""
+    _ensure_ray()
+    from metacache_mpi_ray.pipelines.incremental import ReplIndex
+
+    idx = ReplIndex(args.index)
+    print(json.dumps({"mode": "repl", "index": args.index, "ready": True}))
+    for line in sys.stdin:
+        text = line.rstrip("\n")
+        if not text:
+            break
+        print(json.dumps(idx.query(text, top_k=args.top_k)))
+    return 0
+
+
 def cmd_info(args) -> int:
     """Index statistics — the mode_info analog
     (/root/reference/src/mode_info.cpp:288-345): config, artifact row
@@ -209,6 +227,11 @@ def main(argv=None) -> int:
     )
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_annotate)
+
+    sp = sub.add_parser("repl", help="interactive per-query lookup shell")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--top-k", type=int, default=5, dest="top_k")
+    sp.set_defaults(fn=cmd_repl)
 
     sp = sub.add_parser("info", help="index statistics")
     sp.add_argument("--index", required=True)

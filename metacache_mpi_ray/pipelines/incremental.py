@@ -128,6 +128,110 @@ def _band_keys(sigs, cfg: DedupConfig, id_out: str):
     ).rename_columns({"doc_id": id_out})
 
 
+class ReplIndex:
+    """Interactive single-query lookup against a persisted index — the
+    analog of the reference's interactive query shell (S13,
+    /root/reference/src/mode_query.cpp:269-315: stdin lines queried
+    against the in-RAM database).
+
+    Loads the index artifacts (band table, signatures, clusters) into
+    driver memory ONCE — like the reference, the interactive path
+    assumes the index fits in RAM; batch workloads go through
+    ``query_against_index``. Each ``query(text)`` is pure numpy:
+    normalize -> sign -> band -> searchsorted probe -> signature
+    verification -> cluster resolution, a few ms per query."""
+
+    def __init__(self, ckpt_root: str):
+        import pyarrow.parquet as pq
+
+        from metacache_mpi_ray.functions.hashing import minhash_perm_constants
+        from metacache_mpi_ray.stages.signatures import sig_from_arrow
+
+        self.cfg = load_index_config(ckpt_root)
+        self._perm = (
+            minhash_perm_constants(self.cfg.n_perms, self.cfg.seed)
+            if self.cfg.minhash_scheme != "oph"
+            else (None, None)
+        )
+        files = sorted(
+            glob.glob(os.path.join(ckpt_root, "signatures", "**", "*.parquet"),
+                      recursive=True)
+        )
+        sig_tab = pa.concat_tables(
+            [pq.read_table(f, columns=["doc_id", "sig"]) for f in files]
+        )
+        self.sig_ids = sig_tab["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(self.sig_ids)
+        self.sig_ids = self.sig_ids[order]
+        self.sig_mat = sig_from_arrow(sig_tab["sig"])[order]
+        bands = _read_stage(ckpt_root, "bands").to_pandas()
+        bk = bands["bkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(bk)
+        self.band_keys = bk[order]
+        self.band_docs = bands["doc_id"].to_numpy(dtype=np.int64)[order]
+        cl = _read_stage(
+            ckpt_root, "clusters", columns=["doc_id", "cluster_id"]
+        ).to_pandas()
+        ci = cl["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ci)
+        self.cl_ids = ci[order]
+        self.cl_lab = cl["cluster_id"].to_numpy(dtype=np.int64)[order]
+
+    def query(self, text: str, top_k: int = 5) -> dict:
+        from metacache_mpi_ray.functions.text import normalize_text_py
+        from metacache_mpi_ray.stages.banding import _to_i63, band_hashes
+        from metacache_mpi_ray.stages.candidates import _combine_keys
+        from metacache_mpi_ray.stages.signatures import minhash_matrix
+
+        norm = normalize_text_py(text).encode("utf-8")
+        sig = minhash_matrix([norm], self.cfg, *self._perm)
+        bh = _to_i63(band_hashes(sig, self.cfg)).reshape(-1)
+        key_tab = pa.table(
+            {
+                "band_id": pa.array(
+                    np.arange(self.cfg.n_bands, dtype=np.int64), type=pa.int64()
+                ),
+                "band_hash": pa.array(bh, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.zeros(self.cfg.n_bands, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        qkeys = (
+            _combine_keys(key_tab, ["band_id", "band_hash"], "doc_id")["bkey"]
+            .to_numpy(zero_copy_only=False)
+        )
+        lo = np.searchsorted(self.band_keys, qkeys, side="left")
+        hi = np.searchsorted(self.band_keys, qkeys, side="right")
+        cand = np.unique(
+            np.concatenate(
+                [self.band_docs[l:h] for l, h in zip(lo.tolist(), hi.tolist())]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        if len(cand) == 0:
+            return {"matched": False, "matches": []}
+        pos = np.searchsorted(self.sig_ids, cand)
+        pos = np.minimum(pos, len(self.sig_ids) - 1)
+        found = self.sig_ids[pos] == cand
+        cand, pos = cand[found], pos[found]
+        est = (self.sig_mat[pos] == sig[0][None, :]).mean(axis=1)
+        keep = est >= self.cfg.verify_threshold
+        cand, est = cand[keep], est[keep]
+        order = np.argsort(-est)[:top_k]
+        cp = np.minimum(np.searchsorted(self.cl_ids, cand), max(len(self.cl_ids) - 1, 0))
+        cl_ok = len(self.cl_ids) > 0
+        matches = [
+            {
+                "doc_id": int(d),
+                "est_sim": round(float(s), 4),
+                "cluster_id": int(self.cl_lab[p]) if cl_ok and self.cl_ids[p] == d else int(d),
+            }
+            for d, s, p in zip(cand[order], est[order], cp[order])
+        ]
+        return {"matched": bool(len(matches)), "matches": matches}
+
+
 @ray.remote
 def _assemble_sorted_unique(col: str, *tabs):
     """Sorted unique values of ``col`` over blocks, as one task."""

@@ -870,13 +870,34 @@ def q_video_frame_sample(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF (coarse-quantizer) approximate nearest neighbors — the scale
-    path; bounded recall, so checked rows-only (exact overlap vs brute
-    force asserted in pytest)."""
-    from metacache_mpi_ray.stages.ann import ivf_topk
+    """IVF (coarse-quantizer) approximate nearest neighbors via the
+    CELL-PARTITIONED index (round-3): the embeddings are written one
+    parquet directory per coarse cell (cached under /tmp, content-
+    fingerprinted) and the probe READS only the nprobe cell dirs —
+    storage-level pruning, not a full-scan filter. Bounded recall, so
+    checked rows-only (pruning + recall asserted in pytest)."""
+    import hashlib
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(emb, query_ids=list(range(5)), k=5, n_cells=8, nprobe=3)
+    from metacache_mpi_ray.stages.ann import build_ivf_index, ivf_topk_indexed
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|ivf-v1".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/metacache_ivf_{key}"
+    emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        build_ivf_index(emb, idx_dir, n_cells=8, seed=3, train_sample=2048)
+    query_ids = list(range(5))
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(src, columns=["vec_id", "embedding"]).to_pandas()
+    qtab = qtab[qtab["vec_id"].isin(query_ids)].sort_values("vec_id")
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtab["embedding"]])
+    return ivf_topk_indexed(
+        idx_dir, qtab["vec_id"].tolist(), qmat, k=5, nprobe=3
+    )
 
 
 def q_merged_dedup_runs(sf_dir: str):

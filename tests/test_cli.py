@@ -96,3 +96,26 @@ def test_cli_annotate_and_pipeline(tmp_path, corpus_dir, capsys):
     written = pq.read_table(out_a).to_pandas()
     assert "header" in written.columns
     assert written["header"].str.count("\\|").min() >= 2
+
+
+def test_cli_repl_mode(tmp_path, corpus_dir, capsys, monkeypatch):
+    """repl mode: one JSON result per stdin line against a built index."""
+    import io
+
+    from metacache_mpi_ray.__main__ import main
+
+    idx = str(tmp_path / "replidx")
+    assert main(["build", "--pages", f"{corpus_dir}/pages", "--index", idx,
+                 "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    pages = pq.read_table(f"{corpus_dir}/pages").to_pandas()
+    known = pages["text"].iloc[0]
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO(known + "\n" + "unseen text " * 30 + "\n")
+    )
+    assert main(["repl", "--index", idx]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["ready"] is True
+    assert lines[1]["matched"] is True
+    assert lines[2]["matched"] is False

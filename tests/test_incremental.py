@@ -247,3 +247,36 @@ def test_query_with_tiny_probe_batches_matches_default(index_root):
     assert (b["matched"] == t["matched"]).all()
     assert (b["matched_cluster_id"] == t["matched_cluster_id"]).all()
     assert b["matched"].any()
+
+
+def test_repl_index_agrees_with_batch_query(index_root):
+    """S13 analog: per-line interactive lookups must agree with the
+    batch query path on matched/unmatched and resolve to the same
+    stored cluster."""
+    from metacache_mpi_ray.pipelines.incremental import (
+        ReplIndex,
+        query_against_index,
+    )
+
+    root, idx_clusters, corpus_dir = index_root
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    sub = pages.head(10).copy()
+    sub["url"] = "http://repl.example/" + sub.index.astype(str)
+    new_docs = ingest_pages(rd.from_pandas(sub))
+    batch = (
+        query_against_index(new_docs, root, num_partitions=4)
+        .to_pandas()
+        .merge(new_docs.to_pandas()[["doc_id", "norm_text"]], on="doc_id")
+    )
+    repl = ReplIndex(root)
+    n_matched = 0
+    for _, r in batch.iterrows():
+        got = repl.query(r["norm_text"])
+        assert got["matched"] == bool(r["matched"]), r["doc_id"]
+        if got["matched"]:
+            n_matched += 1
+            clusters = {m["cluster_id"] for m in got["matches"]}
+            assert int(r["matched_cluster_id"]) in clusters
+    assert n_matched > 0
+    # unknown text stays unmatched
+    assert repl.query("never seen text " * 30)["matched"] is False
