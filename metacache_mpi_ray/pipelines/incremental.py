@@ -292,19 +292,28 @@ def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None)
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, n))
         nseg = len(starts)
-        # per bucket: stored rows sort first (side 0), new rows after
-        out_a, out_b = [], []
+        # per bucket: stored rows sort first (side 0), new rows after.
+        # cross products emitted FULLY vectorized (no per-bucket Python,
+        # round-3): for each mixed bucket with m stored and k new rows
+        # the k*m outputs are laid out new-major, so a = new[out // m]
+        # and b = stored[out % m] by pure index arithmetic
         n_new_per = np.add.reduceat(side.astype(np.int64), starts)
         mixed = (n_new_per > 0) & (n_new_per < sizes) & (sizes <= cap)
-        for s, z, nn in zip(
-            starts[mixed].tolist(), sizes[mixed].tolist(), n_new_per[mixed].tolist()
-        ):
-            stored = ids[s : s + z - nn]
-            new = ids[s + z - nn : s + z]
-            out_a.append(np.repeat(new, len(stored)))
-            out_b.append(np.tile(stored, nn))
-        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        if mixed.any():
+            s_m = starts[mixed]
+            z_m = sizes[mixed]
+            k_m = n_new_per[mixed]
+            m_m = z_m - k_m
+            outs = k_m * m_m
+            total = int(outs.sum())
+            out0 = np.concatenate([[0], np.cumsum(outs)[:-1]])
+            within = np.arange(total, dtype=np.int64) - np.repeat(out0, outs)
+            rep_m = np.repeat(m_m, outs)
+            a = ids[np.repeat(s_m + m_m, outs) + within // rep_m]
+            b = ids[np.repeat(s_m, outs) + within % rep_m]
+        else:
+            a = np.empty(0, dtype=np.int64)
+            b = np.empty(0, dtype=np.int64)
         # bridge rows: every member of the batch's first and last bucket
         # (potential split fragments), side riding in column b
         bridge_idx = [0] if nseg == 1 else [0, nseg - 1]

@@ -210,6 +210,66 @@ def bucket_edges(
     return edges.materialize()
 
 
+def segment_all_pairs(
+    ids: np.ndarray,
+    starts: np.ndarray,
+    sizes: np.ndarray,
+    mask: np.ndarray,
+    *,
+    extra: np.ndarray | None = None,
+    sample_cap: int | None = None,
+):
+    """All distinct (a < b) pairs of the selected equal-key segments of
+    a sorted stream — vectorized by grouping segments of EQUAL SIZE, so
+    the Python loop runs at most (distinct sizes) times regardless of
+    segment count (round-3: the previous per-bucket loop was one Python
+    iteration per bucket, which dominates at millions of buckets).
+
+    ``extra`` is an optional parallel per-row value (e.g. a position);
+    returns (a, b) or (a, b, ea, eb) with the extras swapped alongside.
+    ``sample_cap``: segments larger than this are reduced to sample_cap
+    members chosen by the deterministic splitmix64 id-hash rule (the
+    SAME rule for every caller, so bucket fragments and stitches agree).
+    """
+    sel_starts = starts[mask]
+    sel_sizes = sizes[mask]
+    out_a, out_b, out_ea, out_eb = [], [], [], []
+    for z in np.unique(sel_sizes).tolist():
+        zs = sel_starts[sel_sizes == z]
+        gather = zs[:, None] + np.arange(z, dtype=np.int64)[None, :]
+        vals = ids[gather]  # (k, z)
+        ext = extra[gather] if extra is not None else None
+        if sample_cap is not None and z > sample_cap:
+            mix = splitmix64(vals.reshape(-1).view(U64)).reshape(vals.shape)
+            pick = np.argsort(mix, axis=1)[:, :sample_cap]
+            vals = np.take_along_axis(vals, pick, axis=1)
+            if ext is not None:
+                ext = np.take_along_axis(ext, pick, axis=1)
+            z = sample_cap
+        if z < 2:
+            continue
+        i, j = np.triu_indices(z, 1)
+        ai = vals[:, i].reshape(-1)
+        bj = vals[:, j].reshape(-1)
+        swap = ai > bj
+        a = np.where(swap, bj, ai)
+        b = np.where(swap, ai, bj)
+        keep = a != b
+        out_a.append(a[keep])
+        out_b.append(b[keep])
+        if ext is not None:
+            pi = ext[:, i].reshape(-1)
+            pj = ext[:, j].reshape(-1)
+            out_ea.append(np.where(swap, pj, pi)[keep])
+            out_eb.append(np.where(swap, pi, pj)[keep])
+    def cat(parts):
+        return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+    if extra is None:
+        return cat(out_a), cat(out_b)
+    return cat(out_a), cat(out_b), cat(out_ea), cat(out_eb)
+
+
 def bucket_all_pairs(
     ds,
     key_cols: list[str],
@@ -249,18 +309,7 @@ def bucket_all_pairs(
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, n))
         nseg = len(starts)
-        out_a, out_b = [], []
-        for gi in np.flatnonzero((sizes > 1) & (sizes <= cap)).tolist():
-            grp = ids[starts[gi] : starts[gi] + sizes[gi]]
-            i, j = np.triu_indices(len(grp), 1)
-            ai, bj = grp[i], grp[j]
-            swap = ai > bj
-            out_a.append(np.where(swap, bj, ai))
-            out_b.append(np.where(swap, ai, bj))
-        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
-        keep = a != b
-        a, b = a[keep], b[keep]
+        a, b = segment_all_pairs(ids, starts, sizes, (sizes > 1) & (sizes <= cap))
         # bridge rows: every member of the batch's first and last
         # segment (potential split fragments), if the fragment is
         # within cap

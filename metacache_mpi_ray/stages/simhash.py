@@ -182,6 +182,7 @@ def simhash_dedup(
         value_col="hamming",
         value_type=pa.int64(),
         payload_dtype=U64,
+        payload_bytes_per_row=8,
         strategy=verify_strategy,
         num_partitions=num_partitions,
     )

@@ -200,26 +200,21 @@ def positional_anchor_rows(cfg: DedupConfig):
 
 def _pairs_from_group(g_ids: np.ndarray, g_pos: np.ndarray, pair_cap: int):
     """All distinct (a<b) pairs of one anchor bucket with diagonal and
-    a-side position; over-cap buckets sample pair_cap members by
-    deterministic id hash (the one sampling rule shared by the in-batch
-    kernel and the cross-fragment stitch, so a split bucket reassembles
-    to the same pair set a one-batch bucket would emit)."""
-    z = len(g_ids)
-    if z > pair_cap:
-        mix = splitmix64(g_ids.view(U64))
-        pick = np.argsort(mix)[:pair_cap]
-        g_ids, g_pos = g_ids[pick], g_pos[pick]
-        z = pair_cap
-    i, j = np.triu_indices(z, 1)
-    ai, bj = g_ids[i], g_ids[j]
-    pi, pj = g_pos[i], g_pos[j]
-    swap = ai > bj
-    a = np.where(swap, bj, ai)
-    b = np.where(swap, ai, bj)
-    pa_ = np.where(swap, pj, pi)
-    pb_ = np.where(swap, pi, pj)
-    keep = a != b
-    return a[keep], b[keep], (pa_ - pb_)[keep], pa_[keep]
+    a-side position — one segment through the shared vectorized kernel
+    (``segment_all_pairs``), so the cross-fragment stitch uses exactly
+    the in-batch cap-sampling rule and a split bucket reassembles to
+    the same pair set a one-batch bucket would emit."""
+    from metacache_mpi_ray.stages.candidates import segment_all_pairs
+
+    a, b, ea, eb = segment_all_pairs(
+        g_ids,
+        np.zeros(1, dtype=np.int64),
+        np.array([len(g_ids)], dtype=np.int64),
+        np.ones(1, dtype=bool),
+        extra=g_pos,
+        sample_cap=pair_cap,
+    )
+    return a, b, ea - eb, ea
 
 
 def _emit_bucket_pairs(pair_cap: int):
@@ -251,17 +246,13 @@ def _emit_bucket_pairs(pair_cap: int):
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, n))
         nseg = len(starts)
-        out_a, out_b, out_d, out_p = [], [], [], []
-        for s, z in zip(starts[sizes > 1].tolist(), sizes[sizes > 1].tolist()):
-            a, b, d, p = _pairs_from_group(ids[s : s + z], pos[s : s + z], pair_cap)
-            out_a.append(a)
-            out_b.append(b)
-            out_d.append(d)
-            out_p.append(p)
-        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
-        d = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
-        p = np.concatenate(out_p) if out_p else np.empty(0, dtype=np.int64)
+        from metacache_mpi_ray.stages.candidates import segment_all_pairs
+
+        a, b, ea, eb = segment_all_pairs(
+            ids, starts, sizes, sizes > 1, extra=pos, sample_cap=pair_cap
+        )
+        d = ea - eb
+        p = ea
         # bridge rows: members of the batch's first and last segment
         bridge_idx = [0] if nseg == 1 else [0, nseg - 1]
         bm_l, bp_l, bk_l = [], [], []

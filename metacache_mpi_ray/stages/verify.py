@@ -162,6 +162,7 @@ def verify_pairs_payload(
     value_col: str,
     value_type=None,
     payload_dtype=None,
+    payload_bytes_per_row: int | None = None,
     strategy: str = "auto",
     broadcast_bytes_limit: int = 2 << 30,
     num_partitions: int = 16,
@@ -179,7 +180,11 @@ def verify_pairs_payload(
     ``broadcast_bytes_limit`` (measured while streaming — the collection
     aborts the moment it can't fit) and otherwise falls back to two hash
     joins shipping the payload as packed binary (``payload_dtype``
-    required for the join path's unpack)."""
+    required for the join path's unpack). Callers that know the fixed
+    payload width pass ``payload_bytes_per_row`` to get the off-driver
+    fast path: the auto decision uses endpoint count x width and the
+    subset assembles in one task instead of streaming through the
+    driver heap."""
     value_type = value_type or pa.float64()
 
     def _empty():
@@ -191,8 +196,43 @@ def verify_pairs_payload(
             }
         )
 
-    subset = None
-    if strategy in ("auto", "broadcast"):
+    lookup_ref = None
+    if payload_bytes_per_row is not None and strategy in ("auto", "broadcast"):
+        # off-driver fast path: decide by endpoint COUNT x payload width
+        # (known up front), assemble the subset in one task — the
+        # payload bytes never cross the driver heap
+        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
+        if (
+            strategy == "broadcast"
+            or n_wanted * payload_bytes_per_row <= broadcast_bytes_limit
+        ):
+            sub = table.map_batches(
+                filter_to_ids(id_col, wanted_ref), batch_format="pyarrow"
+            )
+            refs = sub.to_arrow_refs()
+
+            @ray.remote
+            def _assemble(*tabs):
+                ids_out, pay_out = [], []
+                for t in tabs:
+                    if len(t) == 0:
+                        continue
+                    i, p = extract(t)
+                    ids_out.append(i)
+                    pay_out.append(p)
+                if not ids_out:
+                    return np.empty(0, dtype=np.int64), np.empty((0, 0))
+                ids_all = np.concatenate(ids_out)
+                pay_all = np.concatenate(pay_out, axis=0)
+                order = np.argsort(ids_all)
+                return ids_all[order], pay_all[order]
+
+            lookup_ref = (
+                _assemble.remote(*refs)
+                if refs
+                else ray.put((np.empty(0, dtype=np.int64), np.empty((0, 0))))
+            )
+    elif strategy in ("auto", "broadcast"):
         wanted = _edge_doc_ids(edges)
         subset = _collect_payload_subset(
             table,
@@ -201,8 +241,9 @@ def verify_pairs_payload(
             extract,
             bytes_limit=broadcast_bytes_limit if strategy == "auto" else None,
         )
-    if subset is not None:
-        lookup_ref = ray.put(subset)
+        if subset is not None:
+            lookup_ref = ray.put(subset)
+    if lookup_ref is not None:
 
         def score_b(batch: pa.Table) -> pa.Table:
             ids_s, pay = ray.get(lookup_ref)
