@@ -1036,6 +1036,33 @@ def q_substring_spans(sf_dir: str):
     return scored_substring_edges(docs, cfg, num_partitions=8)
 
 
+def q_jaccard_verify(sf_dir: str):
+    """Exact n-gram Jaccard verification (the precision-grade verifier
+    behind `-hitmin`-style filtering, querying.h:1078-1131) with an
+    EXACT SQL oracle: score the planted half-prefix pairs. The copy's
+    16-gram set is a subset of the original's, so jaccard ==
+    |half grams| / |full grams| ≈ 0.5 — a non-trivial float the oracle
+    reproduces by enumerating the same 16-grams in DuckDB (documents
+    are ASCII, so byte grams == char grams; both sides compute
+    int64/int64 in IEEE double, bit-identical). Threshold 0.2 keeps
+    every planted pair and drops length<16 degenerates identically."""
+    from metacache_mpi_ray.stages.verify import verify_edges_exact_jaccard
+
+    docs = _half_prefix_corpus(sf_dir)
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids[ids % 4 == 0]
+        return pa.table(
+            {"a": pa.array(sel, type=pa.int64()),
+             "b": pa.array(sel + PLANT_OFF, type=pa.int64())}
+        )
+
+    e = ids_ds.map_batches(edges, batch_format="pyarrow")
+    return verify_edges_exact_jaccard(e, docs, DedupConfig(sim_threshold=0.2))
+
+
 def q_annotated_docs(sf_dir: str):
     """Annotate mode end-to-end (M7 analog, mode_annotate.cpp:238-311):
     per-lang census as the mapping, broadcast lookup, vectorized header
@@ -1253,6 +1280,7 @@ QUERIES = {
     "band_census_planted": q_band_census_planted,
     "bucket_moments_planted": q_bucket_moments_planted,
     "merged_dedup_runs": q_merged_dedup_runs,
+    "jaccard_verify": q_jaccard_verify,
     "cluster_lcs": q_cluster_lcs,
     "exact_dedup_groups": q_exact_dedup_groups,
     "dedup_eval": q_dedup_eval,
@@ -1648,6 +1676,27 @@ ORACLE_SQL = {
         "SELECT x.vec_id AS a, y.vec_id AS b "
         "FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id "
         "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95"
+    ),
+    "jaccard_verify": (
+        "WITH n AS (SELECT doc_id, "
+        "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt "
+        "  FROM documents WHERE doc_id % 4 = 0), "
+        "d AS (SELECT doc_id AS id, nt AS t FROM n "
+        "  UNION ALL SELECT doc_id + 1000000000, "
+        "  rtrim(substr(nt, 1, length(nt)//2)) FROM n), "
+        "g AS (SELECT DISTINCT id, substr(t, i, 16) AS gr FROM ("
+        "  SELECT id, t, unnest(generate_series(1, greatest(length(t) - 15, 0))) AS i "
+        "  FROM d)), "
+        "c AS (SELECT id, count(*) AS nc FROM g GROUP BY id), "
+        "p AS (SELECT doc_id AS a, doc_id + 1000000000 AS b FROM n), "
+        "ix AS (SELECT x.id AS a, y.id AS b, count(*) AS ni "
+        "  FROM g x JOIN g y ON y.id = x.id + 1000000000 AND y.gr = x.gr "
+        "  GROUP BY x.id, y.id) "
+        "SELECT p.a AS a, p.b AS b, "
+        "COALESCE(ix.ni, 0) / (ca.nc + cb.nc - COALESCE(ix.ni, 0)) AS jaccard "
+        "FROM p JOIN c ca ON ca.id = p.a JOIN c cb ON cb.id = p.b "
+        "LEFT JOIN ix ON ix.a = p.a "
+        "WHERE COALESCE(ix.ni, 0) / (ca.nc + cb.nc - COALESCE(ix.ni, 0)) >= 0.2"
     ),
     "cluster_lcs": (
         "WITH n AS (SELECT doc_id, "
