@@ -225,6 +225,17 @@ def q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_doc_fingerprints_mod(sf_dir: str):
+    """Document fingerprinting with an EXACT SQL oracle: polynomial
+    hash of the raw text bytes mod 1e9+7 (base 131) — the same
+    zero-copy buffer plumbing as the 64-bit mixer variant, with
+    arithmetic DuckDB reproduces via a recursive-CTE power table."""
+    from metacache_mpi_ray.stages.textstats import fingerprint_mod_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_mod_batch, batch_format="pyarrow")
+
+
 def q_orders_customer_join(sf_dir: str):
     """Broadcast hash join (J2 analog): big orders stream probes the
     small customer dimension shipped once via ray.put."""
@@ -547,6 +558,38 @@ def q_lang_id_trigram(sf_dir: str):
         concurrency=default_actor_concurrency(reserve=2, cap=8),
         num_cpus=1,
     )
+
+
+def q_lang_id_planted(sf_dir: str):
+    """Trigram language ID with an EXACT oracle: text(i) = the seed
+    text of language sorted(langs)[i % n_langs]. Every seed
+    self-classifies (its own profile dominates by construction —
+    asserted in tests), so pred_lang is doc_id-derivable in SQL. The
+    full classifier runs: lowercasing, trigram hashing, per-language
+    profile scoring, script override, unknown threshold."""
+    from metacache_mpi_ray.functions.resources import default_actor_concurrency
+    from metacache_mpi_ray.stages.langid import _SEED_TEXT, TrigramLangId
+
+    langs = sorted(_SEED_TEXT)
+    texts = np.asarray([_SEED_TEXT[l] for l in langs], dtype=object)
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = texts[ids % len(texts)]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "text": pa.array(sel.tolist(), type=pa.string())}
+        )
+
+    out = ids_ds.map_batches(build, batch_format="pyarrow").map_batches(
+        TrigramLangId,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_actor_concurrency(reserve=2, cap=8),
+        num_cpus=1,
+    )
+    return out.select_columns(["doc_id", "pred_lang"])
 
 
 def q_substring_candidates(sf_dir: str):
@@ -1308,6 +1351,7 @@ QUERIES = {
     "sources_per_length": q_sources_per_length,
     "chars_median_by_lang": q_chars_median_by_lang,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_fingerprints_mod": q_doc_fingerprints_mod,
     "orders_customer_join": q_orders_customer_join,
     "lineitem_orders_join": q_lineitem_orders_join,
     "top_events_per_user": q_top_events_per_user,
@@ -1331,6 +1375,7 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "lang_id": q_lang_id,
     "lang_id_trigram": q_lang_id_trigram,
+    "lang_id_planted": q_lang_id_planted,
 }
 
 
@@ -1378,7 +1423,39 @@ def _html_extract_oracle() -> str:
     return f"SELECT doc_id, {s} AS text_extracted FROM documents"
 
 
+def _lang_id_planted_oracle() -> str:
+    from metacache_mpi_ray.stages.langid import _SEED_TEXT
+
+    langs = sorted(_SEED_TEXT)
+    vals = ", ".join(f"({m}, '{l}')" for m, l in enumerate(langs))
+    return (
+        f"SELECT d.doc_id AS doc_id, l.lang AS pred_lang "
+        f"FROM documents d JOIN (VALUES {vals}) AS l(m, lang) "
+        f"ON d.doc_id % {len(langs)} = l.m"
+    )
+
+
+_FINGERPRINT_MOD_ORACLE = (
+    # polynomial hash mod 1e9+7, base 131: power table by recursive CTE,
+    # per-char term join, one grouped sum (sums < 2^43, exact in BIGINT)
+    "WITH RECURSIVE d AS (SELECT doc_id, text AS t FROM documents), "
+    "pw(k, pk) AS ("
+    "  SELECT 0, CAST(1 AS BIGINT) "
+    "  UNION ALL SELECT k + 1, (pk * 131) % 1000000007 FROM pw "
+    "  WHERE k < (SELECT max(length(t)) FROM d)), "
+    "ch AS (SELECT doc_id, L, i, ascii(substr(t, i, 1)) AS c FROM ("
+    "  SELECT doc_id, t, length(t) AS L, "
+    "  unnest(generate_series(1, length(t))) AS i FROM d)), "
+    "s AS (SELECT doc_id, CAST(sum(c * pk) % 1000000007 AS BIGINT) AS fp "
+    "  FROM ch JOIN pw ON pw.k = ch.L - ch.i GROUP BY doc_id) "
+    "SELECT d.doc_id AS doc_id, COALESCE(s.fp, 0) AS fingerprint "
+    "FROM d LEFT JOIN s USING (doc_id)"
+)
+
+
 ORACLE_SQL = {
+    "lang_id_planted": _lang_id_planted_oracle(),
+    "doc_fingerprints_mod": _FINGERPRINT_MOD_ORACLE,
     "exact_dedup_groups": (
         "SELECT min(doc_id) AS rep_id, count(*) AS dup_count "
         "FROM documents GROUP BY text"

@@ -127,3 +127,51 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array((fp >> np.uint64(1)).astype(np.int64), type=pa.int64()),
         }
     )
+
+
+_FP_P = 1_000_000_007  # prime modulus of the SQL-reproducible fingerprint
+_FP_B = 131            # polynomial base
+
+
+def _mod_powers(maxlen: int) -> np.ndarray:
+    """B^0..B^maxlen mod p by vectorized doubling (log2 rounds, no
+    per-position Python loop)."""
+    pw = np.array([1], dtype=np.int64)
+    while len(pw) <= maxlen:
+        bn = (int(pw[-1]) * _FP_B) % _FP_P  # B^len(pw): pw[k]*pw[k'] < 2^60
+        pw = np.concatenate([pw, (pw * bn) % _FP_P])
+    return pw[: maxlen + 1]
+
+
+def fingerprint_mod_batch(batch: pa.Table) -> pa.Table:
+    """SQL-reproducible content fingerprint: classic polynomial hash
+    fp = sum(byte[j] * B^(L-1-j)) mod p over the raw text bytes, same
+    zero-copy buffer plumbing as ``fingerprint_batch`` but with
+    arithmetic a DuckDB oracle replicates exactly (recursive-CTE power
+    table + one grouped sum). Per-term products < 2^38 and per-doc sums
+    < 2^43, so everything stays in exact int64."""
+    from metacache_mpi_ray.functions.hashing import arrow_string_buffer
+
+    data, starts, ends = arrow_string_buffer(batch["text"])
+    lens = (ends - starts).astype(np.int64)
+    n = len(lens)
+    total = int(lens.sum())
+    if total == 0:
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "fingerprint": pa.array(np.zeros(n, dtype=np.int64))}
+        )
+    pw = _mod_powers(int(lens.max()))
+    seg0 = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens)
+    pos = np.repeat(starts.astype(np.int64), lens) + within
+    exp = np.repeat(lens, lens) - 1 - within
+    terms = data[pos].astype(np.int64) * pw[exp] % _FP_P
+    sums = np.add.reduceat(terms, np.minimum(seg0, total - 1))
+    sums[lens == 0] = 0  # reduceat yields a stray term at empty segments
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(sums % _FP_P, type=pa.int64()),
+        }
+    )

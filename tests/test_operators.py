@@ -185,6 +185,32 @@ def test_fingerprint_stable_and_distinct():
     assert fp[0] == fp[1] != fp[2]
 
 
+def test_fingerprint_mod_matches_naive_and_batch_invariant():
+    from metacache_mpi_ray.stages.textstats import (
+        _FP_B,
+        _FP_P,
+        fingerprint_mod_batch,
+    )
+
+    texts = ["hello world", "", "x", "hello world", "a" * 300, "zb" * 97]
+
+    def naive(s: str) -> int:
+        h = 0
+        for ch in s.encode("utf-8"):
+            h = (h * _FP_B + ch) % _FP_P
+        return h
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    fp = fingerprint_mod_batch(batch)["fingerprint"].to_pylist()
+    assert fp == [naive(s) for s in texts]
+    # per-row semantics: any batch split gives the same values
+    parts = [fingerprint_mod_batch(batch.slice(i, 1)) for i in range(len(texts))]
+    assert pa.concat_tables(parts)["fingerprint"].to_pylist() == fp
+
+
 def test_simhash_kernel_parity_with_reference_impl():
     """The bit-matrix simhash kernel must produce bit-identical
     signatures to the round-1 per-bit reference kernel."""
