@@ -193,6 +193,8 @@ def redistribute_counts(
     leaf_cols: list[str],
     *,
     at_leaf_col: str = "at_leaf",
+    mode: str = "driver",
+    num_partitions: int = 16,
 ):
     """Per-leaf abundance with above-rank counts redistributed down
     proportional to direct leaf counts (classification.cpp:362-428).
@@ -204,12 +206,13 @@ def redistribute_counts(
     estimate = n_direct + est_num/denom extra reads, kept as exact
     integers (est_num = n_direct * (total_direct + coarse_count)).
 
-    Both aggregations are distributed; the final join runs over the
-    node tables, which are bounded by the number of DISTINCT leaf
-    paths (lang x source here — thousands), not by row count. At a
-    host-level hierarchy (10^7+ leaves) replace the two to_pandas()
-    merges with a Dataset join on coarse_cols — the groupby outputs
-    are already Datasets, only the merge below is driver-side.
+    Both aggregations are distributed in every mode. ``mode="driver"``
+    (default) merges the two grouped node tables on the driver — they
+    are bounded by the number of DISTINCT leaf paths (lang x source
+    here — thousands), not by row count. ``mode="distributed"`` keeps
+    the merge as hash-partitioned Dataset joins on coarse_cols — for
+    host-level hierarchies (10^7+ leaves) where the node tables
+    themselves outgrow the driver.
     """
     coarse_cols = leaf_cols[:-1]
 
@@ -219,6 +222,45 @@ def redistribute_counts(
             return t.filter(pa.array(m if flag else ~m))
 
         return f
+
+    if mode == "distributed":
+        import pyarrow.compute as pc
+
+        fine_ds = (
+            assignments.map_batches(split(1), batch_format="pyarrow")
+            .groupby(leaf_cols)
+            .aggregate(Count(alias_name="n_direct"))
+        )
+        tot_ds = fine_ds.groupby(coarse_cols).aggregate(
+            Sum("n_direct", alias_name="t")
+        )
+        coarse_ds = (
+            assignments.map_batches(split(0), batch_format="pyarrow")
+            .groupby(coarse_cols)
+            .aggregate(Count(alias_name="cc"))
+        )
+        j = fine_ds.join(
+            tot_ds, join_type="inner", num_partitions=num_partitions,
+            on=tuple(coarse_cols),
+        )
+        j = j.repartition(num_partitions)  # schema barrier between joins
+        j = j.join(
+            coarse_ds, join_type="left_outer", num_partitions=num_partitions,
+            on=tuple(coarse_cols),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            # stay in Arrow: the outer join leaves cc nullable and a
+            # pandas round-trip would go through float64
+            cc = pc.coalesce(t["cc"], pa.scalar(0, pa.int64()))
+            est = pc.multiply(t["n_direct"], pc.add(t["t"], cc))
+            cols = {c: t[c] for c in leaf_cols}
+            cols["n_direct"] = t["n_direct"]
+            cols["est_num"] = est
+            cols["denom"] = t["t"]
+            return pa.table(cols)
+
+        return j.map_batches(finish, batch_format="pyarrow")
 
     fine = (
         assignments.map_batches(split(1), batch_format="pyarrow")

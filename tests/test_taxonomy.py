@@ -79,6 +79,41 @@ def test_redistribute_counts_proportional():
     assert out.loc[("de", "c"), "est_num"] / out.loc[("de", "c"), "denom"] == 2
 
 
+def test_redistribute_counts_distributed_parity(ray_session):
+    """mode='distributed' (hash-partitioned Dataset joins for 10^7+-leaf
+    hierarchies) must agree row-for-row with the driver-side merge."""
+    rows = []
+    rows += [("en", "a", 1)] * 3 + [("en", "b", 1)] * 1 + [("en", "x", 0)] * 4
+    rows += [("de", "c", 1)] * 2
+    rows += [("fr", "y", 0)] * 3  # coarse-only lang: no leaf to land on
+    tab = pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows]),
+            "source": pa.array([r[1] for r in rows]),
+            "at_leaf": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    cols = ["lang", "source", "n_direct", "est_num", "denom"]
+    drv = (
+        redistribute_counts(rd.from_arrow(tab), ["lang", "source"])
+        .to_pandas()[cols]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        redistribute_counts(
+            rd.from_arrow(tab), ["lang", "source"], mode="distributed",
+            num_partitions=4,
+        )
+        .to_pandas()[cols]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    assert dist.astype({"n_direct": "int64", "est_num": "int64", "denom": "int64"}).equals(
+        drv.astype({"n_direct": "int64", "est_num": "int64", "denom": "int64"})
+    )
+
+
 def test_pair_eval_counts():
     # pred groups: {1,2,3}, {4,5}; truth: {1,2}, {3,4}, {5}
     tab = pa.table(
