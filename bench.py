@@ -94,6 +94,11 @@ def run_bench() -> dict:
     corpus = _corpus_dir()
     num_partitions = max(8, NUM_CPUS)
     queries: dict[str, float] = {}
+    # capacity window marker before the timed section (scaling legs
+    # bracket the headline with start+end probes)
+    probe_start = (
+        _cpu_probe() if os.environ.get("GRAFT_HEADLINE_ONLY") == "1" else None
+    )
 
     # warm the page cache so we measure compute+shuffle, not first-touch IO
     rd.read_parquet(f"{corpus}/pages").count()
@@ -128,6 +133,7 @@ def run_bench() -> dict:
             "n_docs": n_docs,
             "docs_per_sec": round(n_docs / headline, 1),
             "cpu_probe_sec": _cpu_probe(),
+            "cpu_probe_start_sec": probe_start,
         }
 
     # incremental query-vs-index (the reference's query mode): the index
@@ -258,13 +264,45 @@ def run_scaling() -> dict:
     lo, hi = SCALE_LO, SCALE_HI
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     # the sandbox VM's effective CPU capacity fluctuates (noisy
-    # neighbors); alternate lo/hi runs and take medians so one slow
-    # window doesn't skew the ratio
+    # neighbors); two mitigations: (1) alternate lo/hi runs and take
+    # medians; (2) probe-gate each leg — a leg whose bracketing
+    # single-thread probes show a throttled window (> GRAFT_PROBE_GATE
+    # seconds; healthy ~1.2) is retried, because a ratio between legs
+    # that ran on different effective hardware measures the VM, not the
+    # engine. The gate reads the probe, never the leg's own time, so it
+    # cannot bias the accepted samples toward fast runs of the engine.
+    gate = float(os.environ.get("GRAFT_PROBE_GATE", "2.5"))
+    retries = int(os.environ.get("GRAFT_PROBE_RETRIES", "2"))
+    discarded: list[dict] = []
+
+    def one_gated(ncpu: int) -> dict:
+        r = None
+        for _ in range(retries + 1):
+            r = one(ncpu)
+            worst = max(
+                r.get("cpu_probe_sec") or 0.0,
+                r.get("cpu_probe_start_sec") or 0.0,
+            )
+            if worst <= gate:
+                return r
+            discarded.append(
+                {"cpus": ncpu, "sec": r["value"],
+                 "probes": [r.get("cpu_probe_start_sec"), r.get("cpu_probe_sec")]}
+            )
+        return r  # every window throttled: keep the last leg, disclosed
+
     lows, highs, n_docs = [], [], None
+    probes_lo, probes_hi = [], []
     for _ in range(reps):
-        r_lo, r_hi = one(lo), one(hi)
+        r_lo, r_hi = one_gated(lo), one_gated(hi)
         lows.append(r_lo["value"])
         highs.append(r_hi["value"])
+        probes_lo.append(
+            [r_lo.get("cpu_probe_start_sec"), r_lo.get("cpu_probe_sec")]
+        )
+        probes_hi.append(
+            [r_hi.get("cpu_probe_start_sec"), r_hi.get("cpu_probe_sec")]
+        )
         n_docs = r_lo["n_docs"]
     med = lambda xs: sorted(xs)[len(xs) // 2]
     t_lo, t_hi = med(lows), med(highs)
@@ -276,6 +314,15 @@ def run_scaling() -> dict:
         f"sec_{hi}": t_hi,
         f"all_sec_{lo}": lows,
         f"all_sec_{hi}": highs,
+        # per-leg [start, end] single-thread probes (~1.2 s healthy):
+        # legs whose probes diverge ran in different capacity windows
+        # and the ratio between them is substrate noise, not engine
+        # scaling — such legs are retried (probe-gated), with discards
+        # disclosed below
+        f"cpu_probe_{lo}": probes_lo,
+        f"cpu_probe_{hi}": probes_hi,
+        "probe_gate_sec": gate,
+        "discarded_throttled_legs": discarded,
         "scaling_efficiency": round(eff, 3),
         "n_docs": n_docs,
     }
