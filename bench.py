@@ -292,7 +292,7 @@ def run_scaling() -> dict:
         return r  # every window throttled: keep the last leg, disclosed
 
     lows, highs, n_docs = [], [], None
-    probes_lo, probes_hi = [], []
+    probes_lo, probes_hi, hw_effs = [], [], []
     for _ in range(reps):
         r_lo, r_hi = one_gated(lo), one_gated(hi)
         lows.append(r_lo["value"])
@@ -304,10 +304,18 @@ def run_scaling() -> dict:
             [r_hi.get("cpu_probe_start_sec"), r_hi.get("cpu_probe_sec")]
         )
         n_docs = r_lo["n_docs"]
+        # hw ceiling sampled INSIDE the suite, adjacent to the legs it
+        # normalizes — a single end-of-suite probe can land in a
+        # different capacity window than every engine leg (observed:
+        # "super-linear" 1.15 hw efficiency right after a suite whose
+        # legs all ran throttled)
+        hw_effs.append(hw_ceiling(lo, hi)["hw_efficiency"])
     med = lambda xs: sorted(xs)[len(xs) // 2]
     t_lo, t_hi = med(lows), med(highs)
     eff = (t_lo / t_hi) / (hi / lo)
     hw = hw_ceiling(lo, hi)
+    hw["hw_efficiency_per_rep"] = hw_effs
+    hw["hw_efficiency"] = med(hw_effs)
     out = {
         "metric": f"scaling efficiency (N={lo} -> {hi} CPUs, same input, median of {reps})",
         f"sec_{lo}": t_lo,
