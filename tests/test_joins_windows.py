@@ -19,6 +19,19 @@ def test_broadcast_join_matches_pandas():
     assert set(zip(out["x"], out["name"])) == set(zip(exp["x"], exp["name"]))
 
 
+def test_large_join_auto_partitions_matches_pandas():
+    from metacache_mpi_ray.stages.joins import large_join
+
+    left = pd.DataFrame({"k": np.arange(200) % 37, "x": np.arange(200)})
+    right = pd.DataFrame({"k": np.arange(37), "y": np.arange(37) * 10})
+    out = large_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=("k",)
+    ).to_pandas()
+    exp = left.merge(right, on="k")
+    assert len(out) == len(exp) == 200
+    assert set(zip(out["x"], out["y"])) == set(zip(exp["x"], exp["y"]))
+
+
 def test_anti_join_broadcast():
     from metacache_mpi_ray.stages.joins import anti_join_broadcast
 
