@@ -277,7 +277,7 @@ def run_scaling() -> dict:
 
     def one_gated(ncpu: int) -> dict:
         r = None
-        for _ in range(retries + 1):
+        for attempt in range(retries + 1):
             r = one(ncpu)
             worst = max(
                 r.get("cpu_probe_sec") or 0.0,
@@ -285,14 +285,20 @@ def run_scaling() -> dict:
             )
             if worst <= gate:
                 return r
-            discarded.append(
-                {"cpus": ncpu, "sec": r["value"],
-                 "probes": [r.get("cpu_probe_start_sec"), r.get("cpu_probe_sec")]}
-            )
+            if attempt < retries:
+                # a truly DISCARDED leg (will be retried). The final
+                # throttled attempt is kept and used in the medians, so
+                # it must NOT appear here — its probes are already
+                # disclosed in cpu_probe_N (r3 review finding)
+                discarded.append(
+                    {"cpus": ncpu, "sec": r["value"],
+                     "probes": [r.get("cpu_probe_start_sec"),
+                                r.get("cpu_probe_sec")]}
+                )
         return r  # every window throttled: keep the last leg, disclosed
 
     lows, highs, n_docs = [], [], None
-    probes_lo, probes_hi, hw_effs = [], [], []
+    probes_lo, probes_hi, hw_reps = [], [], []
     for _ in range(reps):
         r_lo, r_hi = one_gated(lo), one_gated(hi)
         lows.append(r_lo["value"])
@@ -309,11 +315,16 @@ def run_scaling() -> dict:
         # different capacity window than every engine leg (observed:
         # "super-linear" 1.15 hw efficiency right after a suite whose
         # legs all ran throttled)
-        hw_effs.append(hw_ceiling(lo, hi)["hw_efficiency"])
+        hw_reps.append(hw_ceiling(lo, hi))
     med = lambda xs: sorted(xs)[len(xs) // 2]
     t_lo, t_hi = med(lows), med(highs)
     eff = (t_lo / t_hi) / (hi / lo)
-    hw = hw_ceiling(lo, hi)
+    # report the per-rep MEDIAN window's full dict: a separate
+    # end-of-suite probe would pair sec fields from one window with an
+    # efficiency from another (r3 review finding — suite #5 showed
+    # hw_sec_2 from a 12 s throttle next to the 0.611 median)
+    hw_effs = [h["hw_efficiency"] for h in hw_reps]
+    hw = dict(sorted(hw_reps, key=lambda h: h["hw_efficiency"])[len(hw_reps) // 2])
     hw["hw_efficiency_per_rep"] = hw_effs
     hw["hw_efficiency"] = med(hw_effs)
     out = {

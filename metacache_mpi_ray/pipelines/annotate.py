@@ -39,6 +39,15 @@ def annotate_docs(
     reference's unmapped-sequence behavior (mode_annotate.cpp keeps the
     record and reports the miss count)."""
     small = mapping[[on, annotation_col]].copy()
+    # one annotation per key (reference semantics): a duplicate-keyed
+    # mapping would expand rows in the left merge and fail the batch
+    # column append with an opaque Arrow length error
+    if small[on].duplicated().any():
+        dups = small[on][small[on].duplicated()].head(3).tolist()
+        raise ValueError(
+            f"annotate mapping has duplicate keys in {on!r} (e.g. {dups}); "
+            "one annotation per key is required"
+        )
     # stringify annotations up front: a left-merge miss would otherwise
     # promote int annotations to float ("3" -> "3.0")
     small[annotation_col] = small[annotation_col].astype(str)

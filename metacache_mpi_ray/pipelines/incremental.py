@@ -35,7 +35,12 @@ from ray.data.aggregate import Min
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.banding import compute_bands
-from metacache_mpi_ray.stages.candidates import _combine_keys, bucket_edges, dedupe_edges
+from metacache_mpi_ray.stages.candidates import (
+    _combine_keys,
+    bridge_split,
+    bucket_edges,
+    dedupe_edges,
+)
 from metacache_mpi_ray.stages.cluster import assign_clusters
 from metacache_mpi_ray.stages.signatures import compute_signatures
 from metacache_mpi_ray.stages.verify import lookup_sorted, verify_edges
@@ -344,17 +349,9 @@ def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None)
         .materialize()
     )
 
-    def _split(want_bridge: bool, cols: list[str]):
-        def f(t: pa.Table) -> pa.Table:
-            bkv = t["bridge_key"].to_numpy(zero_copy_only=False)
-            mask = (bkv != 0) if want_bridge else (bkv == 0)
-            return t.filter(pa.array(mask)).select(cols)
-
-        return f
-
-    pairs = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
+    pairs = emitted.map_batches(bridge_split(False, ["a", "b"]), batch_format="pyarrow")
     bridges = emitted.map_batches(
-        _split(True, ["a", "b", "bridge_key"]), batch_format="pyarrow"
+        bridge_split(True, ["a", "b", "bridge_key"]), batch_format="pyarrow"
     ).to_pandas()
     if len(bridges):
         extra_a, extra_b = [], []

@@ -163,18 +163,12 @@ def bucket_edges(
         .map_batches(_make_edge_emitter(id_col, cap, hot_policy), batch_format="pyarrow")
         .materialize()
     )
-    def _split(want_bridge: bool, cols: list[str]):
-        def f(t: pa.Table) -> pa.Table:
-            bk = t["bridge_key"].to_numpy(zero_copy_only=False)
-            mask = (bk != 0) if want_bridge else (bk == 0)
-            return t.filter(pa.array(mask)).select(cols)
-
-        return f
-
-    edges = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
+    edges = emitted.map_batches(
+        bridge_split(False, ["a", "b"]), batch_format="pyarrow"
+    )
     # stitch buckets split across batch boundaries (tiny: <= 2 rows/batch)
     bridges = emitted.map_batches(
-        _split(True, ["a", "bridge_key", "bsz"]), batch_format="pyarrow"
+        bridge_split(True, ["a", "bridge_key", "bsz"]), batch_format="pyarrow"
     ).to_pandas()
     if len(bridges):
         g = bridges.groupby("bridge_key").agg(
@@ -208,6 +202,22 @@ def bucket_edges(
     # executor stalls at low CPU counts; the edge list is small (3 ints
     # per row) and is the natural checkpoint artifact anyway
     return edges.materialize()
+
+
+def bridge_split(want_bridge: bool, cols: list[str]):
+    """Batch filter routing the bridge-stitch convention shared by every
+    bucket-emission stage (flagship edges, all-pairs buckets, the
+    incremental probe, substring anchors): rows with ``bridge_key != 0``
+    are bucket fragments shipped to the driver stitch; rows with 0 are
+    in-batch results. ONE helper so a change to the sentinel scheme
+    cannot silently miss a stage (r3 review finding)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        bkv = t["bridge_key"].to_numpy(zero_copy_only=False)
+        mask = (bkv != 0) if want_bridge else (bkv == 0)
+        return t.filter(pa.array(mask)).select(cols)
+
+    return f
 
 
 def segment_all_pairs(
@@ -334,17 +344,11 @@ def bucket_all_pairs(
 
     emitted = keyed.sort("bkey").map_batches(emit, batch_format="pyarrow").materialize()
 
-    def _split(want_bridge: bool, cols: list[str]):
-        def f(t: pa.Table) -> pa.Table:
-            bkv = t["bridge_key"].to_numpy(zero_copy_only=False)
-            mask = (bkv != 0) if want_bridge else (bkv == 0)
-            return t.filter(pa.array(mask)).select(cols)
-
-        return f
-
-    edges = emitted.map_batches(_split(False, ["a", "b"]), batch_format="pyarrow")
+    edges = emitted.map_batches(
+        bridge_split(False, ["a", "b"]), batch_format="pyarrow"
+    )
     bridges = emitted.map_batches(
-        _split(True, ["a", "bridge_key"]), batch_format="pyarrow"
+        bridge_split(True, ["a", "bridge_key"]), batch_format="pyarrow"
     ).to_pandas()
     if len(bridges):
         extra_a, extra_b = [], []

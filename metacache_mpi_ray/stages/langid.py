@@ -221,16 +221,18 @@ class TrigramLangId:
             tg = np.zeros(0, dtype=U64)
         scores = np.zeros((n, len(self.langs)), dtype=np.float64)
         nz = lens > 0
-        # reduceat segment starts, clipped: a trailing empty doc would
-        # index one past the stream end; its sum is zeroed below anyway
-        seg_idx = np.minimum(offs[:-1], max(total - 1, 0))
+        # reduceat over non-empty segments only: clipping an empty
+        # trailing segment's boundary into range would truncate the
+        # previous doc's segment and make scores depend on batch
+        # composition (r3 review finding)
+        seg_idx = offs[:-1][nz]
         for j, (pids, pw) in enumerate(zip(self.profile_ids, self.profile_w)):
-            if total == 0:
+            if total == 0 or not nz.any():
                 break
             ppos = np.minimum(np.searchsorted(pids, tg), len(pids) - 1)
             wvals = np.where(pids[ppos] == tg, pw[ppos], 0.0)
-            sums = np.add.reduceat(wvals, seg_idx)
-            sums[~nz] = 0.0
+            sums = np.zeros(n, dtype=np.float64)
+            sums[nz] = np.add.reduceat(wvals, seg_idx)
             scores[:, j] = sums / np.sqrt(np.maximum(lens, 1))
         # script override: distinctive non-Latin lead bytes win outright
         pred = np.asarray(self.langs, dtype=object)[scores.argmax(axis=1)]

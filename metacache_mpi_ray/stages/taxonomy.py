@@ -226,11 +226,24 @@ def redistribute_counts(
     if mode == "distributed":
         import pyarrow.compute as pc
 
+        # an empty side loses its schema through an empty Ray groupby
+        # and would fail the hash join with "no match for FieldRef"
+        # (same empty-side cases the driver path guards: all-coarse or
+        # all-fine inputs are normal). materialize() both sides once —
+        # the handles are reused by the joins, so the count is free.
         fine_ds = (
             assignments.map_batches(split(1), batch_format="pyarrow")
             .groupby(leaf_cols)
             .aggregate(Count(alias_name="n_direct"))
+            .materialize()
         )
+        if fine_ds.count() == 0:
+            # no directly-classified rows: nothing to redistribute onto
+            schema = pa.schema(
+                [(c, pa.string()) for c in leaf_cols]
+                + [(c, pa.int64()) for c in ["n_direct", "est_num", "denom"]]
+            )
+            return rd.from_arrow(schema.empty_table())
         tot_ds = fine_ds.groupby(coarse_cols).aggregate(
             Sum("n_direct", alias_name="t")
         )
@@ -238,21 +251,26 @@ def redistribute_counts(
             assignments.map_batches(split(0), batch_format="pyarrow")
             .groupby(coarse_cols)
             .aggregate(Count(alias_name="cc"))
+            .materialize()
         )
         j = fine_ds.join(
             tot_ds, join_type="inner", num_partitions=num_partitions,
             on=tuple(coarse_cols),
         )
-        j = j.repartition(num_partitions)  # schema barrier between joins
-        j = j.join(
-            coarse_ds, join_type="left_outer", num_partitions=num_partitions,
-            on=tuple(coarse_cols),
-        )
+        if coarse_ds.count() > 0:
+            j = j.repartition(num_partitions)  # schema barrier between joins
+            j = j.join(
+                coarse_ds, join_type="left_outer",
+                num_partitions=num_partitions, on=tuple(coarse_cols),
+            )
 
         def finish(t: pa.Table) -> pa.Table:
             # stay in Arrow: the outer join leaves cc nullable and a
             # pandas round-trip would go through float64
-            cc = pc.coalesce(t["cc"], pa.scalar(0, pa.int64()))
+            if "cc" in t.column_names:
+                cc = pc.coalesce(t["cc"], pa.scalar(0, pa.int64()))
+            else:  # no coarse-only rows anywhere
+                cc = pa.scalar(0, pa.int64())
             est = pc.multiply(t["n_direct"], pc.add(t["t"], cc))
             cols = {c: t[c] for c in leaf_cols}
             cols["n_direct"] = t["n_direct"]

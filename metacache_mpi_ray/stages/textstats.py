@@ -167,8 +167,13 @@ def fingerprint_mod_batch(batch: pa.Table) -> pa.Table:
     pos = np.repeat(starts.astype(np.int64), lens) + within
     exp = np.repeat(lens, lens) - 1 - within
     terms = data[pos].astype(np.int64) * pw[exp] % _FP_P
-    sums = np.add.reduceat(terms, np.minimum(seg0, total - 1))
-    sums[lens == 0] = 0  # reduceat yields a stray term at empty segments
+    # reduceat over non-empty segments only: clipping empty-segment
+    # boundaries into range would truncate the PREVIOUS doc's segment
+    # whenever the batch ends with empty texts (r3 review finding)
+    nz = lens > 0
+    sums = np.zeros(n, dtype=np.int64)
+    if nz.any():
+        sums[nz] = np.add.reduceat(terms, seg0[nz])
     return pa.table(
         {
             "doc_id": batch["doc_id"],

@@ -273,6 +273,13 @@ def verify_pairs_payload(
     def pack(batch: pa.Table) -> pa.Table:
         ids, pay = extract(batch)
         n, w = pay.shape
+        if n == 0 or w == 0:
+            # empty block: extractors report width 0, and np.arange
+            # with step w*itemsize == 0 would raise ZeroDivisionError
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "payload": pa.array([], type=pa.large_binary())}
+            )
         flat = np.ascontiguousarray(pay).view(np.uint8).reshape(n, w * itemsize)
         offs = np.arange(0, (n + 1) * w * itemsize, w * itemsize, dtype=np.int64)
         bin_col = pa.LargeBinaryArray.from_buffers(

@@ -119,3 +119,20 @@ def test_cli_repl_mode(tmp_path, corpus_dir, capsys, monkeypatch):
     assert lines[0]["ready"] is True
     assert lines[1]["matched"] is True
     assert lines[2]["matched"] is False
+
+
+def test_annotate_duplicate_mapping_keys_rejected():
+    """r3 review regression: a duplicate-keyed mapping must fail with a
+    clear error, not an opaque Arrow length mismatch mid-pipeline."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from metacache_mpi_ray.pipelines.annotate import annotate_docs
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1], "lang": ["en"]}))
+    mapping = pd.DataFrame({"lang": ["en", "en"], "n": [7, 9]})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        annotate_docs(
+            docs, mapping, on="lang", annotation_col="n", header_cols=["lang"]
+        )

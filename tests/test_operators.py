@@ -440,3 +440,85 @@ def test_trigram_langid_holdout_accuracy():
     e = scorer(pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
                          "text": pa.array(["", "zq"])}))
     assert e["pred_lang"].to_pylist() == ["unknown", "unknown"]
+
+
+def test_fingerprint_mod_trailing_empty_texts():
+    """r3 review regression: a batch ENDING in empty texts must not
+    truncate the last non-empty doc's polynomial (the old reduceat
+    boundary clip folded its final term into the empty segment)."""
+    from metacache_mpi_ray.stages.textstats import (
+        _FP_B,
+        _FP_P,
+        fingerprint_mod_batch,
+    )
+
+    def naive(s: str) -> int:
+        h = 0
+        for ch in s.encode("utf-8"):
+            h = (h * _FP_B + ch) % _FP_P
+        return h
+
+    for texts in (["ab", ""], ["ab", "", ""], ["", "ab", ""], [""], ["", ""]):
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        got = fingerprint_mod_batch(batch)["fingerprint"].to_pylist()
+        assert got == [naive(s) for s in texts], texts
+
+
+def test_trigram_langid_batch_composition_invariant():
+    """r3 review regression: a doc's (pred_lang, lang_score) must not
+    depend on empty/short neighbors in the same batch."""
+    from metacache_mpi_ray.stages.langid import TrigramLangId
+
+    scorer = TrigramLangId()
+
+    def run(texts):
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts, type=pa.string())}
+        )
+        out = scorer(t)
+        return list(zip(out["pred_lang"].to_pylist(), out["lang_score"].to_pylist()))
+
+    doc = "the quick brown fox jumps over the lazy dog"
+    alone = run([doc])[0]
+    assert run([doc, ""])[0] == alone
+    assert run(["", doc])[1] == alone
+    assert run([doc, "ab"])[0] == alone
+    assert run(["", doc, ""])[1] == alone
+
+
+def test_verify_pairs_payload_join_empty_block():
+    """r3 review regression: an empty block on the payload side (width-0
+    extracted matrix) must not ZeroDivisionError in the join pack()."""
+    from metacache_mpi_ray.stages.verify import verify_pairs_payload
+
+    vals = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()),
+         "v": pa.array([10, 10], type=pa.int64())}
+    )
+    empty = vals.slice(0, 0)
+    table = rd.from_arrow(vals).union(rd.from_arrow(empty))
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array([1], type=pa.int64()),
+                  "b": pa.array([2], type=pa.int64())})
+    )
+
+    def extract(b):
+        return (
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False).reshape(-1, 1).astype(np.int64),
+        )
+
+    def score(x, y):
+        d = np.abs(x[:, 0] - y[:, 0])
+        return d, d == 0
+
+    out = verify_pairs_payload(
+        edges, table, id_col="doc_id", extract=extract, score=score,
+        value_col="dist", value_type=pa.int64(), payload_dtype=np.int64,
+        strategy="join", num_partitions=2,
+    ).to_pandas()
+    assert set(zip(out["a"], out["b"], out["dist"])) == {(1, 2, 0)}

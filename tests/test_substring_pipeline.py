@@ -308,3 +308,40 @@ def test_exact_jaccard_join_strategy_matches_broadcast(corpus_dir):
     kb = set(zip(vb["a"], vb["b"], vb["jaccard"].round(12)))
     kj = set(zip(vj["a"], vj["b"], vj["jaccard"].round(12)))
     assert kb == kj and len(kb) > 50
+
+
+def test_emit_bucket_pairs_bridge_rows_bounded_and_stitch_exact():
+    """r3 review regression: a hot anchor bucket at a batch boundary
+    ships at most pair_cap bridge rows per fragment, and the capped
+    bridge still stitches to the same pair set as shipping every row
+    (both reduce through the same deterministic min-mix sampling)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from metacache_mpi_ray.stages.substring import (
+        _emit_bucket_pairs,
+        _pairs_from_group,
+    )
+
+    cap = 4
+    n_hot = 100
+    ids = np.arange(1, n_hot + 1, dtype=np.int64)
+    pos = np.arange(n_hot, dtype=np.int64) * 3
+    t = pa.table(
+        {"anchor_hash": pa.array(np.full(n_hot, 77, dtype=np.int64)),
+         "doc_id": pa.array(ids), "pos": pa.array(pos)}
+    )
+    out = _emit_bucket_pairs(cap)(t)
+    bk = out["bridge_key"].to_numpy(zero_copy_only=False)
+    n_bridge = int((bk != 0).sum())
+    assert n_bridge <= cap  # single segment -> one capped fragment
+
+    # stitch parity: pairs from the capped fragment == pairs from the
+    # full member list (global sample is a subset of the capped union)
+    bm = out.filter(pa.array(bk != 0))
+    a_c, b_c, d_c, p_c = _pairs_from_group(
+        bm["a"].to_numpy(zero_copy_only=False),
+        bm["pos_a"].to_numpy(zero_copy_only=False), cap,
+    )
+    a_f, b_f, d_f, p_f = _pairs_from_group(ids, pos, cap)
+    assert set(zip(a_c, b_c, d_c, p_c)) == set(zip(a_f, b_f, d_f, p_f))

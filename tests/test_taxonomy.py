@@ -149,3 +149,28 @@ def test_redistribute_counts_empty_sides(ray_session):
     out2 = redistribute_counts(rd.from_pandas(all_coarse), ["lang", "source"])
     assert out2.count() == 0
     assert set(out2.schema().names) == {"lang", "source", "n_direct", "est_num", "denom"}
+
+
+def test_redistribute_counts_distributed_empty_sides(ray_session):
+    """r3 review regression: mode='distributed' must survive the same
+    empty-side inputs the driver path guards (all-coarse input crashed
+    the hash join on a schema-less empty groupby result)."""
+    all_coarse = pd.DataFrame(
+        {"lang": ["en", "fr"], "source": ["a", "b"], "at_leaf": [0, 0]}
+    )
+    out = redistribute_counts(
+        rd.from_pandas(all_coarse), ["lang", "source"],
+        mode="distributed", num_partitions=2,
+    )
+    assert out.count() == 0
+    assert set(out.schema().names) == {"lang", "source", "n_direct", "est_num", "denom"}
+
+    all_fine = pd.DataFrame(
+        {"lang": ["en", "en"], "source": ["a", "b"], "at_leaf": [1, 1]}
+    )
+    out2 = redistribute_counts(
+        rd.from_pandas(all_fine), ["lang", "source"],
+        mode="distributed", num_partitions=2,
+    ).to_pandas()
+    assert len(out2) == 2
+    assert (out2["est_num"] == out2["n_direct"] * out2["denom"]).all()
