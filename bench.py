@@ -94,11 +94,10 @@ def run_bench() -> dict:
     corpus = _corpus_dir()
     num_partitions = max(8, NUM_CPUS)
     queries: dict[str, float] = {}
-    # capacity window marker before the timed section (scaling legs
-    # bracket the headline with start+end probes)
-    probe_start = (
-        _cpu_probe() if os.environ.get("GRAFT_HEADLINE_ONLY") == "1" else None
-    )
+    # capacity window marker before the timed section: every run is
+    # bracketed by start+end probes so a throttled-window bench (the
+    # per-round driver run included) is diagnosable from its own JSON
+    probe_start = _cpu_probe()
 
     # warm the page cache so we measure compute+shuffle, not first-touch IO
     rd.read_parquet(f"{corpus}/pages").count()
@@ -203,6 +202,7 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "cpu_probe_sec": _cpu_probe(),
+        "cpu_probe_start_sec": probe_start,
     }
 
 
