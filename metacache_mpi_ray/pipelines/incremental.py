@@ -37,7 +37,7 @@ from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.banding import compute_bands
 from metacache_mpi_ray.stages.candidates import (
     _combine_keys,
-    bridge_split,
+    split_edges_and_bridges,
     bucket_edges,
     dedupe_edges,
 )
@@ -349,10 +349,9 @@ def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None)
         .materialize()
     )
 
-    pairs = emitted.map_batches(bridge_split(False, ["a", "b"]), batch_format="pyarrow")
-    bridges = emitted.map_batches(
-        bridge_split(True, ["a", "b", "bridge_key"]), batch_format="pyarrow"
-    ).to_pandas()
+    pairs, bridges = split_edges_and_bridges(
+        emitted, ["a", "b"], ["a", "b", "bridge_key"]
+    )
     if len(bridges):
         extra_a, extra_b = [], []
         for _, grp in bridges.groupby("bridge_key"):
@@ -373,7 +372,7 @@ def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None)
                 }
             )
             pairs = pairs.union(rd.from_arrow(extra))
-    return pairs.materialize()
+    return pairs
 
 
 def query_against_index(

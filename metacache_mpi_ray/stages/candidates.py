@@ -163,13 +163,10 @@ def bucket_edges(
         .map_batches(_make_edge_emitter(id_col, cap, hot_policy), batch_format="pyarrow")
         .materialize()
     )
-    edges = emitted.map_batches(
-        bridge_split(False, ["a", "b"]), batch_format="pyarrow"
-    )
     # stitch buckets split across batch boundaries (tiny: <= 2 rows/batch)
-    bridges = emitted.map_batches(
-        bridge_split(True, ["a", "bridge_key", "bsz"]), batch_format="pyarrow"
-    ).to_pandas()
+    edges, bridges = split_edges_and_bridges(
+        emitted, ["a", "b"], ["a", "bridge_key", "bsz"]
+    )
     if len(bridges):
         g = bridges.groupby("bridge_key").agg(
             **{"min": ("a", "min"), "nunique": ("a", "nunique"), "total": ("bsz", "sum")}
@@ -196,12 +193,46 @@ def bucket_edges(
                         pa.Table.from_pandas(extra_df, preserve_index=False)
                     )
                 )
-    # materialize: the edge list is consumed several times downstream
-    # (count, endpoint collection, scoring) and re-executing a
-    # filter+union lineage per consumer both wastes work and has shown
-    # executor stalls at low CPU counts; the edge list is small (3 ints
-    # per row) and is the natural checkpoint artifact anyway
-    return edges.materialize()
+    # the edge list is consumed several times downstream (count,
+    # endpoint collection, scoring); it is ref-backed already (see
+    # split_edges_and_bridges), so consumers re-read blocks instead of
+    # re-executing the sort lineage — no materialize() cycle needed
+    return edges
+
+
+@ray.remote(num_returns=2)
+def _split_bridge_block(tab: pa.Table, edge_cols: list[str], bridge_cols: list[str]):
+    if len(tab) == 0 or "bridge_key" not in tab.schema.names:
+        # an empty input produces schema-less (or column-poor) blocks
+        def _e(cols: list[str]) -> pa.Table:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+
+        return _e(edge_cols), _e(bridge_cols)
+    return (
+        bridge_split(False, edge_cols)(tab),
+        bridge_split(True, bridge_cols)(tab),
+    )
+
+
+def split_edges_and_bridges(emitted, edge_cols: list[str], bridge_cols: list[str]):
+    """Materialized emitter output -> (ref-backed edges Dataset,
+    driver-side bridges DataFrame) in ONE pass of plain per-block tasks.
+
+    Replaces the previous two full dataset executions (edge filter +
+    bridge ``to_pandas``) plus the final ``materialize()`` — each paid a
+    streaming-executor startup, a fixed serial cost per execution that
+    was a measurable slice of a 2-CPU scaling leg. The returned Dataset
+    is backed by the already-computed block refs, so repeated downstream
+    consumption (count, endpoint collection, scoring) re-reads instead
+    of re-executing."""
+    refs = emitted.to_arrow_refs()
+    if not refs:
+        empty = pa.table({c: pa.array([], type=pa.int64()) for c in edge_cols})
+        return ray.data.from_arrow(empty), pd.DataFrame(columns=bridge_cols)
+    out = [_split_bridge_block.remote(r, edge_cols, bridge_cols) for r in refs]
+    bridge_tabs = ray.get([b for _, b in out])
+    bridges = pa.concat_tables(bridge_tabs).to_pandas()
+    return ray.data.from_arrow_refs([e for e, _ in out]), bridges
 
 
 def bridge_split(want_bridge: bool, cols: list[str]):
@@ -344,12 +375,9 @@ def bucket_all_pairs(
 
     emitted = keyed.sort("bkey").map_batches(emit, batch_format="pyarrow").materialize()
 
-    edges = emitted.map_batches(
-        bridge_split(False, ["a", "b"]), batch_format="pyarrow"
+    edges, bridges = split_edges_and_bridges(
+        emitted, ["a", "b"], ["a", "bridge_key"]
     )
-    bridges = emitted.map_batches(
-        bridge_split(True, ["a", "bridge_key"]), batch_format="pyarrow"
-    ).to_pandas()
     if len(bridges):
         extra_a, extra_b = [], []
         for _, grp in bridges.groupby("bridge_key"):
@@ -373,7 +401,7 @@ def bucket_all_pairs(
                     pa.Table.from_pandas(extra_df, preserve_index=False)
                 )
             )
-    return edges.materialize()
+    return edges
 
 
 def dedupe_edges(edges, num_partitions: int = 32):

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.functions.hashing import U64, splitmix64
 from metacache_mpi_ray.stages.candidates import (
-    bridge_split,
+    split_edges_and_bridges,
     bucket_edges,
     dedupe_edges,
 )
@@ -333,16 +333,13 @@ def scored_substring_edges(
         .materialize()
     )
 
-    pairs = emitted.map_batches(
-        bridge_split(False, ["a", "b", "diag", "pos_a"]), batch_format="pyarrow"
-    )
     # stitch buckets split across batch boundaries: reassemble members
     # from the bridge rows (<= 2 segments/batch) and emit the full pair
     # set under the shared cap-sampling rule; duplicates of in-fragment
     # pairs collapse in the runs kernel (equal positions -> same span)
-    bridges = emitted.map_batches(
-        bridge_split(True, ["a", "pos_a", "bridge_key"]), batch_format="pyarrow"
-    ).to_pandas()
+    pairs, bridges = split_edges_and_bridges(
+        emitted, ["a", "b", "diag", "pos_a"], ["a", "pos_a", "bridge_key"]
+    )
     if len(bridges):
         ex_a, ex_b, ex_d, ex_p = [], [], [], []
         for _, grp in bridges.groupby("bridge_key"):
