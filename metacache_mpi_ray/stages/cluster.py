@@ -38,10 +38,51 @@ def _uf_task(*tabs):
     return connected_components_arrays(np.concatenate(a), np.concatenate(b))
 
 
+@ray.remote(num_returns=2)
+def _forest_task(tab):
+    """One edge block -> its local spanning forest as (child, parent)
+    arrays: contraction preserves connectivity exactly while shrinking
+    the block's edge count to < its distinct-node count (cross-band
+    duplicate pairs and within-block redundancy vanish here, in
+    PARALLEL, before the single serial merge task)."""
+    from metacache_mpi_ray.state.unionfind import connected_components_arrays
+
+    if len(tab) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    nodes, labels = connected_components_arrays(
+        tab["a"].to_numpy(zero_copy_only=False),
+        tab["b"].to_numpy(zero_copy_only=False),
+    )
+    m = labels != nodes
+    return nodes[m], labels[m]
+
+
+@ray.remote
+def _uf_forest_task(*parts):
+    """Final serial merge over the per-block forests (child, parent
+    alternating): input is already contracted, so this touches ~#nodes
+    edges instead of the raw candidate-edge count."""
+    from metacache_mpi_ray.state.unionfind import connected_components_arrays
+
+    a = [x for x in parts[0::2] if len(x)]
+    b = [x for x in parts[1::2] if len(x)]
+    if not a:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return connected_components_arrays(np.concatenate(a), np.concatenate(b))
+
+
 def assign_clusters(docs, edges, *, id_col: str = "doc_id"):
     """docs + verified edges -> clusters dataset (doc_id, cluster_id, is_dup)."""
     refs = edges.to_arrow_refs()
-    if refs:
+    if len(refs) > 1:
+        # two-level components: parallel per-block contraction, then one
+        # serial merge over the forests — the serial slice of a low-CPU
+        # run shrinks by the block count x band multiplicity
+        forests = [_forest_task.remote(r) for r in refs]
+        labels_ref = _uf_forest_task.remote(
+            *[r for pair in forests for r in pair]
+        )
+    elif refs:
         labels_ref = _uf_task.remote(*refs)
     else:
         labels_ref = ray.put(
