@@ -52,20 +52,31 @@ def _edge_doc_ids(edges) -> np.ndarray:
     return np.unique(np.concatenate(ids))
 
 
+@ray.remote
+def _block_edge_ids(t):
+    """Per-block unique endpoint ids (parallel pre-contraction: the
+    cross-band multiplicity collapses here before the serial merge)."""
+    if len(t) == 0:  # empty blocks can arrive schema-less
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+
+
 @ray.remote(num_returns=2)
-def _assemble_edge_ids(*tabs):
-    """(count, sorted unique edge-endpoint ids) from edge blocks — runs
-    as ONE task so the edge bytes never cross the driver heap (the
-    round-2 version pulled every batch through iter_batches, a serial
-    driver cost that scales with the dup subset)."""
-    ids = []
-    for t in tabs:
-        if len(t) == 0:  # empty blocks can arrive schema-less
-            continue
-        ids.append(t["a"].to_numpy(zero_copy_only=False))
-        ids.append(t["b"].to_numpy(zero_copy_only=False))
+def _assemble_edge_ids(*parts):
+    """(count, sorted unique edge-endpoint ids) from per-block unique
+    arrays — the serial merge touches the contracted id sets, not the
+    raw edge bytes, and nothing crosses the driver heap (the round-2
+    version pulled every batch through iter_batches)."""
+    parts = [p for p in parts if len(p)]
     w = (
-        np.unique(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
     )
     return len(w), w
 
@@ -77,7 +88,9 @@ def _edge_doc_ids_ref(edges):
     if not refs:
         empty = np.empty(0, dtype=np.int64)
         return 0, ray.put(empty)
-    n_ref, w_ref = _assemble_edge_ids.remote(*refs)
+    n_ref, w_ref = _assemble_edge_ids.remote(
+        *[_block_edge_ids.remote(r) for r in refs]
+    )
     return int(ray.get(n_ref)), w_ref
 
 
