@@ -94,10 +94,6 @@ def run_bench() -> dict:
     corpus = _corpus_dir()
     num_partitions = max(8, NUM_CPUS)
     queries: dict[str, float] = {}
-    # capacity window marker before the timed section: every run is
-    # bracketed by start+end probes so a throttled-window bench (the
-    # per-round driver run included) is diagnosable from its own JSON
-    probe_start = _cpu_probe()
 
     # warm the page cache so we measure compute+shuffle, not first-touch IO
     rd.read_parquet(f"{corpus}/pages").count()
@@ -109,6 +105,13 @@ def run_bench() -> dict:
     ).limit(2048)
     near_dup_pipeline(warm, cfg, num_partitions=4).clusters.count()
 
+    # capacity window marker IMMEDIATELY before the timed section (after
+    # the warmups, which can take 30+ s under throttle — a pre-warmup
+    # probe can report a different capacity window than the one the
+    # timed section actually ran in): every run is bracketed by
+    # start+end probes so a throttled-window bench (the per-round
+    # driver run included) is diagnosable from its own JSON
+    probe_start = _cpu_probe()
     t0 = time.time()
     docs = ingest_pages(
         rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
