@@ -61,6 +61,25 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _par_probe() -> float:
+    """2-process fixed-work probe (~2.3 s healthy incl. pool spawn).
+
+    Direct measurement on this sandbox (2026-08-17, fixed TOTAL work
+    split across p procs, interleaved): p=1 ran 6-29x slow while
+    p=2..16 ran near-healthy in the same minutes — the host starves a
+    lone busy vCPU but delivers for multi-process work. A single-thread
+    probe therefore measures the starved mode, not the capacity an
+    engine leg (multi-process by construction) actually gets; pair
+    matching uses THIS probe, with the single-thread probe kept for
+    continuity with earlier rounds."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(2) as pool:
+        pool.map(_hw_chunk, [(80_000_000, 4)] * 2)
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -112,6 +131,7 @@ def run_bench() -> dict:
     # start+end probes so a throttled-window bench (the per-round
     # driver run included) is diagnosable from its own JSON
     probe_start = _cpu_probe()
+    par_probe_start = _par_probe()
     t0 = time.time()
     docs = ingest_pages(
         rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
@@ -136,6 +156,8 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1),
             "cpu_probe_sec": _cpu_probe(),
             "cpu_probe_start_sec": probe_start,
+            "par_probe_sec": _par_probe(),
+            "par_probe_start_sec": par_probe_start,
         }
 
     # incremental query-vs-index (the reference's query mode): the index
@@ -206,6 +228,8 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "cpu_probe_sec": _cpu_probe(),
         "cpu_probe_start_sec": probe_start,
+        "par_probe_sec": _par_probe(),
+        "par_probe_start_sec": par_probe_start,
     }
 
 
@@ -274,7 +298,12 @@ def run_scaling() -> dict:
     # that ran on different effective hardware measures the VM, not the
     # engine. The gate reads the probe, never the leg's own time, so it
     # cannot bias the accepted samples toward fast runs of the engine.
-    gate = float(os.environ.get("GRAFT_PROBE_GATE", "2.5"))
+    # the gate reads the 2-PROCESS probe (~2.3 s healthy incl. pool
+    # spawn): measured 2026-08-17, this host starves a lone busy vCPU
+    # 6-29x while p>=2 procs run near-healthy in the same minutes, so a
+    # single-thread probe gates on the starved mode an engine leg never
+    # runs in. Single-thread probes are still recorded for continuity.
+    gate = float(os.environ.get("GRAFT_PROBE_GATE", "3.5"))
     retries = int(os.environ.get("GRAFT_PROBE_RETRIES", "2"))
     discarded: list[dict] = []
 
@@ -283,8 +312,8 @@ def run_scaling() -> dict:
         for attempt in range(retries + 1):
             r = one(ncpu)
             worst = max(
-                r.get("cpu_probe_sec") or 0.0,
-                r.get("cpu_probe_start_sec") or 0.0,
+                r.get("par_probe_sec") or 0.0,
+                r.get("par_probe_start_sec") or 0.0,
             )
             if worst <= gate:
                 return r
@@ -292,16 +321,16 @@ def run_scaling() -> dict:
                 # a truly DISCARDED leg (will be retried). The final
                 # throttled attempt is kept and used in the medians, so
                 # it must NOT appear here — its probes are already
-                # disclosed in cpu_probe_N (r3 review finding)
+                # disclosed in par_probe_N (r3 review finding)
                 discarded.append(
                     {"cpus": ncpu, "sec": r["value"],
-                     "probes": [r.get("cpu_probe_start_sec"),
-                                r.get("cpu_probe_sec")]}
+                     "par_probes": [r.get("par_probe_start_sec"),
+                                    r.get("par_probe_sec")]}
                 )
         return r  # every window throttled: keep the last leg, disclosed
 
     lows, highs, n_docs = [], [], None
-    probes_lo, probes_hi, hw_reps = [], [], []
+    probes_lo, probes_hi, par_lo, par_hi, hw_reps = [], [], [], [], []
     pairs = []
     for rep in range(reps):
         # alternate leg order per rep: a monotone capacity drift then
@@ -312,23 +341,29 @@ def run_scaling() -> dict:
             r_hi, r_lo = one_gated(hi), one_gated(lo)
         lows.append(r_lo["value"])
         highs.append(r_hi["value"])
-        p_lo = [r_lo.get("cpu_probe_start_sec"), r_lo.get("cpu_probe_sec")]
-        p_hi = [r_hi.get("cpu_probe_start_sec"), r_hi.get("cpu_probe_sec")]
-        probes_lo.append(p_lo)
-        probes_hi.append(p_hi)
+        probes_lo.append(
+            [r_lo.get("cpu_probe_start_sec"), r_lo.get("cpu_probe_sec")]
+        )
+        probes_hi.append(
+            [r_hi.get("cpu_probe_start_sec"), r_hi.get("cpu_probe_sec")]
+        )
+        pp_lo = [r_lo.get("par_probe_start_sec"), r_lo.get("par_probe_sec")]
+        pp_hi = [r_hi.get("par_probe_start_sec"), r_hi.get("par_probe_sec")]
+        par_lo.append(pp_lo)
+        par_hi.append(pp_hi)
         # per-ADJACENT-PAIR efficiency: the two legs of one rep ran
         # back-to-back (minutes apart at most), so they share a VM
         # capacity window far more often than the suite-wide medians
         # do — the ratio-of-medians can pair a sec_lo from one window
         # with a sec_hi from another (the round-2 failure mode). A
-        # pair is "matched" when its four bracketing probes agree
-        # within 1.5x: both legs saw the same effective hardware,
+        # pair is "matched" when its four bracketing 2-process probes
+        # agree within 1.5x: both legs saw the same effective hardware,
         # which is exactly what the N-vs-4N criterion assumes.
-        pp = [p for p in p_lo + p_hi if p is not None]
+        pp = [p for p in pp_lo + pp_hi if p is not None]
         pairs.append(
             {
                 "eff": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
-                "probes": pp,
+                "par_probes": pp,
                 "matched": bool(pp)
                 and max(pp) / max(min(pp), 0.01) <= 1.5,
             }
@@ -359,13 +394,16 @@ def run_scaling() -> dict:
         f"sec_{hi}": t_hi,
         f"all_sec_{lo}": lows,
         f"all_sec_{hi}": highs,
-        # per-leg [start, end] single-thread probes (~1.2 s healthy):
-        # legs whose probes diverge ran in different capacity windows
-        # and the ratio between them is substrate noise, not engine
-        # scaling — such legs are retried (probe-gated), with discards
-        # disclosed below
+        # per-leg [start, end] single-thread probes (~1.2 s healthy),
+        # recorded for continuity with earlier rounds — NOT the gating
+        # instrument (this host starves lone busy vCPUs 6-29x while
+        # multi-process work runs near-healthy; see _par_probe)
         f"cpu_probe_{lo}": probes_lo,
         f"cpu_probe_{hi}": probes_hi,
+        # per-leg [start, end] 2-process probes (~2.3 s healthy): the
+        # gating + pair-matching instrument (see _par_probe docstring)
+        f"par_probe_{lo}": par_lo,
+        f"par_probe_{hi}": par_hi,
         "probe_gate_sec": gate,
         "discarded_throttled_legs": discarded,
         "scaling_efficiency": round(eff, 3),
