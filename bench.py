@@ -129,16 +129,48 @@ def run_bench() -> dict:
     # probe can report a different capacity window than the one the
     # timed section actually ran in): every run is bracketed by
     # start+end probes so a throttled-window bench (the per-round
-    # driver run included) is diagnosable from its own JSON
-    probe_start = _cpu_probe()
-    par_probe_start = _par_probe()
-    t0 = time.time()
-    docs = ingest_pages(
-        rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
+    # driver run included) is diagnosable from its own JSON.
+    #
+    # Probe-gated headline retries (default mode only): a single-shot
+    # headline that lands in one of this VM's 5-20x throttle windows
+    # reports the host, not the engine (round-2's driver bench did
+    # exactly that). If BOTH bracketing 2-process probes of an attempt
+    # exceed the gate, re-run up to GRAFT_BENCH_RETRIES times; every
+    # attempt is disclosed in `headline_attempts`, and the reported
+    # attempt is chosen by healthiest PROBE — an engine-independent
+    # signal — never by the attempt's own time. The scaling legs
+    # (GRAFT_HEADLINE_ONLY) keep single-shot behavior: run_scaling()
+    # owns their gating.
+    gate = float(os.environ.get("GRAFT_BENCH_PROBE_GATE", "4.5"))
+    bench_retries = (
+        0
+        if os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+        else int(os.environ.get("GRAFT_BENCH_RETRIES", "2"))
     )
-    res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
-    n_docs = res.clusters.count()
-    headline = time.time() - t0
+    attempts: list[dict] = []
+    for _attempt in range(bench_retries + 1):
+        probe_start = _cpu_probe()
+        par_probe_start = _par_probe()
+        t0 = time.time()
+        docs = ingest_pages(
+            rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
+        )
+        res = near_dup_pipeline(docs, cfg, num_partitions=num_partitions)
+        n_docs = res.clusters.count()
+        headline = time.time() - t0
+        attempts.append(
+            {
+                "sec": round(headline, 3),
+                "par_probes": [par_probe_start, _par_probe()],
+                "cpu_probe_start_sec": probe_start,
+            }
+        )
+        if max(attempts[-1]["par_probes"]) <= gate:
+            break
+    kept = min(attempts, key=lambda a: max(a["par_probes"]))
+    headline = kept["sec"]
+    probe_start = kept["cpu_probe_start_sec"]
+    par_probe_start = kept["par_probes"][0]
     queries["dedup_synth"] = round(headline, 3)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
@@ -156,7 +188,9 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1),
             "cpu_probe_sec": _cpu_probe(),
             "cpu_probe_start_sec": probe_start,
-            "par_probe_sec": _par_probe(),
+            # the attempt's own post-headline probe (single attempt in
+            # this mode; run_scaling reads these as the leg's bracket)
+            "par_probe_sec": kept["par_probes"][1],
             "par_probe_start_sec": par_probe_start,
         }
 
@@ -230,6 +264,10 @@ def run_bench() -> dict:
         "cpu_probe_start_sec": probe_start,
         "par_probe_sec": _par_probe(),
         "par_probe_start_sec": par_probe_start,
+        # every headline attempt, throttled ones included (the reported
+        # one is chosen by healthiest probe, never by its own time)
+        "headline_attempts": attempts,
+        "headline_probe_gate_sec": gate,
     }
 
 
