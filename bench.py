@@ -6,7 +6,9 @@ input_hint shape; generated once and cached under /tmp), plus secondary
 pipelines over the $GRAFT_SF_DIR testdata tables.
 
     python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling   # fresh subprocesses at 8 and 32 CPUs on the
+    python bench.py --scaling   # fresh subprocesses at N and 4N CPUs
+                                # (GRAFT_SCALE_LO/HI, default 2 -> 8; see
+                                # BASELINE.md for why not 8 -> 32) on the
                                 # same input -> throughput at both +
                                 # scaling efficiency (= speedup / 4)
 
@@ -147,9 +149,13 @@ def run_bench() -> dict:
         if os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
         else int(os.environ.get("GRAFT_BENCH_RETRIES", "2"))
     )
+    # the single-thread probe is continuity-only (NOT the instrument —
+    # this host starves a lone vCPU up to 30 s under throttle), so it
+    # runs once, outside the retry loop; each attempt is bracketed by
+    # the cheap 2-process instrument probes only
+    probe_start = _cpu_probe()
     attempts: list[dict] = []
     for _attempt in range(bench_retries + 1):
-        probe_start = _cpu_probe()
         par_probe_start = _par_probe()
         t0 = time.time()
         docs = ingest_pages(
@@ -162,14 +168,12 @@ def run_bench() -> dict:
             {
                 "sec": round(headline, 3),
                 "par_probes": [par_probe_start, _par_probe()],
-                "cpu_probe_start_sec": probe_start,
             }
         )
         if max(attempts[-1]["par_probes"]) <= gate:
             break
     kept = min(attempts, key=lambda a: max(a["par_probes"]))
     headline = kept["sec"]
-    probe_start = kept["cpu_probe_start_sec"]
     par_probe_start = kept["par_probes"][0]
     queries["dedup_synth"] = round(headline, 3)
 
