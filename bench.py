@@ -296,17 +296,23 @@ def hw_ceiling(lo: int, hi: int, total=160_000_000, reps=4) -> dict:
     """Ray-free strong-scaling ceiling of THIS VM for memory-bound numpy
     work: the same fixed total workload split across lo and hi worker
     processes. The engine cannot scale better than its substrate; the
-    judge-facing number is engine_eff / hw_eff."""
+    judge-facing number is engine_eff / hw_eff.
+
+    Fork pools with a warm first map and a TIMED second map: spawn
+    pools measure process-spawn + numpy-import latency, which on this
+    host swings independently of compute capacity (a spawn-pool
+    ceiling once reported a nonsense 10.7 "efficiency"). The timed
+    section is compute-only, the thing the engine legs actually
+    consume."""
     import multiprocessing as mp
 
     def run(p: int) -> float:
-        chunks = [(total // p, reps)] * p
-        t0 = time.time()
-        with mp.get_context("spawn").Pool(p) as pool:
-            pool.map(_hw_chunk, chunks)
-        return time.time() - t0
+        with mp.get_context("fork").Pool(p) as pool:
+            pool.map(_hw_chunk, [(1_000_000, 1)] * p)  # warm children
+            t0 = time.time()
+            pool.map(_hw_chunk, [(total // p, reps)] * p)
+            return time.time() - t0
 
-    run(lo)  # warm spawn machinery
     t_lo = min(run(lo), run(lo))
     t_hi = min(run(hi), run(hi))
     return {
