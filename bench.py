@@ -124,7 +124,47 @@ def run_bench() -> dict:
     warm = ingest_pages(
         rd.read_parquet(f"{corpus}/pages", columns=["url", "html", "text"])
     ).limit(2048)
+    # twice: the second run warms whatever the first left cold (actor
+    # pools, codepaths), so the first TIMED ray probe below reads
+    # capacity, not residual warmup
     near_dup_pipeline(warm, cfg, num_partitions=4).clusters.count()
+    near_dup_pipeline(warm, cfg, num_partitions=4).clusters.count()
+
+    # Ray-shaped capacity probe: the same FIXED 2048-doc mini pipeline,
+    # timed. Measured 2026-08-18 03:55: this host schedules Ray's
+    # process group (raylet + workers + driver) independently of small
+    # fork/spawn pools — a 2-CPU engine leg ran at healthy speed while
+    # 2-process numpy probes around it read 7-50x starved, and vice
+    # versa. A probe that gates engine legs must therefore have the
+    # engine's process shape. The job is identical at every leg CPU
+    # count (fixed work, fixed partitions, dominated by fixed
+    # orchestration), so probe times are comparable ACROSS legs.
+    def _ray_probe() -> float:
+        t0 = time.time()
+        near_dup_pipeline(warm, cfg, num_partitions=4).clusters.count()
+        return round(time.time() - t0, 3)
+
+    ray_probe_start = _ray_probe()
+
+    # cheap self-gating for scaling legs: when the start probe already
+    # shows a throttled window, abort BEFORE paying the full headline
+    # (a throttled 240k-doc 2-CPU leg costs minutes; the probe costs
+    # ~2 s). run_scaling counts an aborted leg as a disclosed discard
+    # and retries. Enabled only by the scaling driver.
+    if (
+        os.environ.get("GRAFT_ABORT_ON_THROTTLED_START") == "1"
+        and os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    ):
+        abort_gate = float(os.environ.get("GRAFT_ABORT_GATE_SEC", "4.0"))
+        if ray_probe_start > abort_gate:
+            ray.shutdown()
+            return {
+                "metric": "scaling leg aborted on throttled start probe",
+                "aborted": True,
+                "value": None,
+                "num_cpus": NUM_CPUS,
+                "ray_probe_start_sec": ray_probe_start,
+            }
 
     # capacity window marker IMMEDIATELY before the timed section (after
     # the warmups, which can take 30+ s under throttle — a pre-warmup
@@ -143,7 +183,15 @@ def run_bench() -> dict:
     # signal — never by the attempt's own time. The scaling legs
     # (GRAFT_HEADLINE_ONLY) keep single-shot behavior: run_scaling()
     # owns their gating.
-    gate = float(os.environ.get("GRAFT_BENCH_PROBE_GATE", "4.5"))
+    # which probe family gates and selects: "ray" (default — engine
+    # process shape, see _ray_probe) or "par" (numpy 2-process pools,
+    # the rounds-2/3 instrument, still recorded for continuity)
+    probe_mode = os.environ.get("GRAFT_PROBE_MODE", "ray")
+    gate = float(
+        os.environ.get(
+            "GRAFT_BENCH_PROBE_GATE", "4.0" if probe_mode == "ray" else "4.5"
+        )
+    )
     bench_retries = (
         0
         if os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
@@ -161,6 +209,7 @@ def run_bench() -> dict:
     retry_budget = float(os.environ.get("GRAFT_BENCH_RETRY_BUDGET", "420"))
     loop_t0 = time.time()
     for _attempt in range(bench_retries + 1):
+        rp_start = ray_probe_start if not attempts else _ray_probe()
         par_probe_start = _par_probe()
         t0 = time.time()
         docs = ingest_pages(
@@ -172,16 +221,19 @@ def run_bench() -> dict:
         attempts.append(
             {
                 "sec": round(headline, 3),
+                "ray_probes": [rp_start, _ray_probe()],
                 "par_probes": [par_probe_start, _par_probe()],
             }
         )
-        if max(attempts[-1]["par_probes"]) <= gate:
+        gating = attempts[-1][f"{probe_mode}_probes"]
+        if max(gating) <= gate:
             break
         if time.time() - loop_t0 > retry_budget:
             break
-    kept = min(attempts, key=lambda a: max(a["par_probes"]))
+    kept = min(attempts, key=lambda a: max(a[f"{probe_mode}_probes"]))
     headline = kept["sec"]
     par_probe_start = kept["par_probes"][0]
+    ray_probe_start = kept["ray_probes"][0]
     queries["dedup_synth"] = round(headline, 3)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
@@ -199,10 +251,12 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1),
             "cpu_probe_sec": _cpu_probe(),
             "cpu_probe_start_sec": probe_start,
-            # the attempt's own post-headline probe (single attempt in
+            # the attempt's own post-headline probes (single attempt in
             # this mode; run_scaling reads these as the leg's bracket)
             "par_probe_sec": kept["par_probes"][1],
             "par_probe_start_sec": par_probe_start,
+            "ray_probe_sec": kept["ray_probes"][1],
+            "ray_probe_start_sec": ray_probe_start,
         }
 
     # incremental query-vs-index (the reference's query mode): the index
@@ -275,10 +329,13 @@ def run_bench() -> dict:
         "cpu_probe_start_sec": probe_start,
         "par_probe_sec": _par_probe(),
         "par_probe_start_sec": par_probe_start,
+        "ray_probe_sec": kept["ray_probes"][1],
+        "ray_probe_start_sec": ray_probe_start,
         # every headline attempt, throttled ones included (the reported
         # one is chosen by healthiest probe, never by its own time)
         "headline_attempts": attempts,
         "headline_probe_gate_sec": gate,
+        "headline_probe_mode": probe_mode,
     }
 
 
@@ -329,12 +386,14 @@ def run_scaling() -> dict:
     # at higher active-core counts — see BASELINE.md hardware table)
     scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", str(BENCH_DOCS)))
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, allow_abort: bool = False, abort_gate_sec: float = 4.0) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_DOCS=str(scale_docs),
             GRAFT_HEADLINE_ONLY="1",
+            GRAFT_ABORT_ON_THROTTLED_START="1" if allow_abort else "0",
+            GRAFT_ABORT_GATE_SEC=f"{abort_gate_sec:.2f}",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -358,18 +417,63 @@ def run_scaling() -> dict:
     # 6-29x while p>=2 procs run near-healthy in the same minutes, so a
     # single-thread probe gates on the starved mode an engine leg never
     # runs in. Single-thread probes are still recorded for continuity.
-    gate = float(os.environ.get("GRAFT_PROBE_GATE", "3.5"))
+    # which probe family gates and pair-matches: "ray" (default) =
+    # the fixed 2048-doc mini pipeline with the engine's own process
+    # shape; "par" = numpy 2-process pools (the rounds-2/3 instrument,
+    # still recorded). Measured 2026-08-18: this host schedules Ray's
+    # process group independently of small fork/spawn pools — a 2-CPU
+    # engine leg ran healthy while numpy probes around it read 7-50x
+    # starved — so only a Ray-shaped probe predicts leg health.
+    probe_mode = os.environ.get("GRAFT_PROBE_MODE", "ray")
+    # the mini job runs ~2x faster at 8 CPUs than at 2 (its parallel
+    # slice scales), so ray probes are NORMALIZED by a per-CPU-count
+    # healthy reference (measured 2026-08-18 on this box) and the gate
+    # is a multiple-of-healthy. par mode keeps absolute seconds.
+    ray_ref = {
+        lo: float(os.environ.get("GRAFT_RAY_REF_LO", "2.0")),
+        hi: float(os.environ.get("GRAFT_RAY_REF_HI", "1.0")),
+    }
+    gate = float(
+        os.environ.get(
+            "GRAFT_PROBE_GATE", "2.0" if probe_mode == "ray" else "3.5"
+        )
+    )
     retries = int(os.environ.get("GRAFT_PROBE_RETRIES", "2"))
     discarded: list[dict] = []
+
+    def leg_probes(r: dict) -> list[float]:
+        """The gating family's probes; normalized to multiples of the
+        leg's healthy reference in ray mode, absolute seconds in par."""
+        norm = ray_ref.get(r.get("num_cpus"), 1.0) if probe_mode == "ray" else 1.0
+        return [
+            round(p / norm, 3)
+            for p in (
+                r.get(f"{probe_mode}_probe_start_sec"),
+                r.get(f"{probe_mode}_probe_sec"),
+            )
+            if p is not None
+        ]
 
     def one_gated(ncpu: int) -> dict:
         r = None
         for attempt in range(retries + 1):
-            r = one(ncpu)
-            worst = max(
-                r.get("par_probe_sec") or 0.0,
-                r.get("par_probe_start_sec") or 0.0,
+            # non-final attempts may self-abort on a throttled START
+            # probe (~2 s + session setup instead of a full throttled
+            # leg); the final attempt always runs to completion so the
+            # suite finishes, disclosed as throttled
+            r = one(
+                ncpu,
+                allow_abort=attempt < retries,
+                abort_gate_sec=gate
+                * (ray_ref.get(ncpu, 1.0) if probe_mode == "ray" else 1.0),
             )
+            if r.get("aborted"):
+                discarded.append(
+                    {"cpus": ncpu, "sec": None, "aborted_on_probe": True,
+                     "probes": leg_probes(r)}
+                )
+                continue
+            worst = max(leg_probes(r) or [0.0])
             if worst <= gate:
                 return r
             if attempt < retries:
@@ -379,13 +483,13 @@ def run_scaling() -> dict:
                 # disclosed in par_probe_N (r3 review finding)
                 discarded.append(
                     {"cpus": ncpu, "sec": r["value"],
-                     "par_probes": [r.get("par_probe_start_sec"),
-                                    r.get("par_probe_sec")]}
+                     "probes": leg_probes(r)}
                 )
         return r  # every window throttled: keep the last leg, disclosed
 
     lows, highs, n_docs = [], [], None
     probes_lo, probes_hi, par_lo, par_hi, hw_reps = [], [], [], [], []
+    ray_lo, ray_hi = [], []
     pairs = []
     for rep in range(reps):
         # alternate leg order per rep: a monotone capacity drift then
@@ -406,19 +510,23 @@ def run_scaling() -> dict:
         pp_hi = [r_hi.get("par_probe_start_sec"), r_hi.get("par_probe_sec")]
         par_lo.append(pp_lo)
         par_hi.append(pp_hi)
+        ray_lo.append([r_lo.get("ray_probe_start_sec"), r_lo.get("ray_probe_sec")])
+        ray_hi.append([r_hi.get("ray_probe_start_sec"), r_hi.get("ray_probe_sec")])
         # per-ADJACENT-PAIR efficiency: the two legs of one rep ran
         # back-to-back (minutes apart at most), so they share a VM
         # capacity window far more often than the suite-wide medians
         # do — the ratio-of-medians can pair a sec_lo from one window
         # with a sec_hi from another (the round-2 failure mode). A
-        # pair is "matched" when its four bracketing 2-process probes
-        # agree within 1.5x: both legs saw the same effective hardware,
+        # pair is "matched" when its four bracketing probes (of the
+        # gating family — the Ray-shaped probe by default) agree
+        # within 1.5x: both legs saw the same effective hardware,
         # which is exactly what the N-vs-4N criterion assumes.
-        pp = [p for p in pp_lo + pp_hi if p is not None]
+        pp = leg_probes(r_lo) + leg_probes(r_hi)
         pairs.append(
             {
                 "eff": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
                 "par_probes": pp,
+                "probe_mode": probe_mode,
                 "matched": bool(pp)
                 and max(pp) / max(min(pp), 0.01) <= 1.5,
             }
@@ -455,10 +563,20 @@ def run_scaling() -> dict:
         # multi-process work runs near-healthy; see _par_probe)
         f"cpu_probe_{lo}": probes_lo,
         f"cpu_probe_{hi}": probes_hi,
-        # per-leg [start, end] 2-process probes (~2.3 s healthy): the
-        # gating + pair-matching instrument (see _par_probe docstring)
+        # per-leg [start, end] 2-process numpy probes (~2.3 s healthy),
+        # recorded for continuity (see _par_probe docstring)
         f"par_probe_{lo}": par_lo,
         f"par_probe_{hi}": par_hi,
+        # per-leg [start, end] Ray-shaped probes (fixed 2048-doc mini
+        # pipeline, identical at both leg CPU counts): the gating +
+        # pair-matching instrument when probe_mode == "ray" (default)
+        f"ray_probe_{lo}": ray_lo,
+        f"ray_probe_{hi}": ray_hi,
+        "probe_mode": probe_mode,
+        # pair_efficiencies[].par_probes carry the GATING family's
+        # values: in ray mode, multiples of the per-CPU-count healthy
+        # reference below (1.0 = healthy); in par mode, seconds
+        "ray_probe_healthy_ref": {str(k): v for k, v in ray_ref.items()},
         "probe_gate_sec": gate,
         "discarded_throttled_legs": discarded,
         "scaling_efficiency": round(eff, 3),
