@@ -502,8 +502,14 @@ def run_scaling() -> dict:
     pairs = []
     for rep in range(reps):
         # alternate leg order per rep: a monotone capacity drift then
-        # biases half the pairs up and half down instead of all one way
-        if rep % 2 == 0:
+        # biases half the pairs up and half down instead of all one way.
+        # GRAFT_LEG_ORDER=hi_first|lo_first forces it: on this
+        # burst-credit host the hi leg burns the budget ~4x faster, so
+        # running it FIRST (right after a rest refill) measures it
+        # cleanest; the lo leg's ~2-core burn is sustainable after.
+        order = os.environ.get("GRAFT_LEG_ORDER")
+        hi_first = (rep % 2 == 1) if order is None else (order == "hi_first")
+        if not hi_first:
             r_lo, r_hi = one_gated(lo), one_gated(hi)
         else:
             r_hi, r_lo = one_gated(hi), one_gated(lo)
