@@ -314,7 +314,7 @@ def redistribute_counts(
             + [(c, pa.int64()) for c in ["n_direct", "est_num", "denom"]]
         )
         return rd.from_arrow(schema.empty_table())
-    out["cc"] = out["cc"].fillna(0).astype("int64")
+    out["cc"] = pd.to_numeric(out["cc"], errors="coerce").fillna(0).astype("int64")
     out["est_num"] = out["n_direct"] * (out["t"] + out["cc"])
     out["denom"] = out["t"].astype("int64")
     cols = leaf_cols + ["n_direct", "est_num", "denom"]
