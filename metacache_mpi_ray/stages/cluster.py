@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data as rd
 from ray.data.aggregate import Min
 
 
@@ -145,9 +146,13 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
 
     Returns a Dataset (doc_id, cluster_id) covering every id that occurs
     in an edge. Rounds: label(v) = min(label(v), min over neighbors u of
-    label(u)) until no label changes. Each round is two vectorized
-    map_batches + one groupby — O(diameter) rounds, which is tiny for
-    dedup clusters (near-cliques, usually 2-3 rounds).
+    label(u), label(label(v))) until no label changes. The label(label(v))
+    term is pointer-jumping (one extra self-join per round), which makes
+    the round count O(log diameter) instead of O(diameter) — without it a
+    chain-shaped component longer than ``max_iters`` hops would silently
+    mislabel. Dedup clusters are near-cliques (2-3 rounds either way);
+    the shortcut is the guarantee for adversarial shapes at scale.
+    Raises if the fixpoint is not reached within ``max_iters`` rounds.
     """
 
     def seed(batch: pa.Table) -> pa.Table:
@@ -168,8 +173,27 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
             }
         )
 
+    def drop_empty_blocks(mat):
+        # Ray 2.49's hash-shuffle join/groupby emit zero-row blocks
+        # carrying the operator's INTERNAL schema (the join's
+        # pre-projection columns, or no columns at all) — projections
+        # skip empty blocks, so the stowaways survive select/rename and
+        # later poison an acero join whose partition sees only them
+        # ("No match ... for key field"). Prune them by block ref:
+        # metadata-only, no data moves.
+        refs = [
+            ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in zip(bundle.block_refs, bundle.metadata)
+            if meta.num_rows
+        ]
+        if not refs:
+            empty = pa.array([], type=pa.int64())
+            return rd.from_arrow(pa.table({"node": empty, "lab": empty}))
+        return rd.from_arrow_refs(refs)
+
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
-    labels = (
+    labels = drop_empty_blocks(
         edges.map_batches(seed, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("lab", alias_name="lab"))
@@ -178,12 +202,28 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
 
     for _ in range(max_iters):
         # neighbor labels: join labels onto edge sources, emit to dst
+        # each join materializes as its OWN execution: two hash-shuffle
+        # joins inside one streaming plan cross-wire their bundles in
+        # Ray 2.49 (a projected bundle from one join surfaces, raw, at
+        # the other join's input — observed as "no match for FieldRef").
         lsrc = labels.rename_columns({"node": "src"})
-        prop = sym_edges.join(
-            lsrc, join_type="inner", num_partitions=num_partitions, on=("src",)
-        ).select_columns(["dst", "lab"]).rename_columns({"dst": "node"})
-        new_labels = (
-            labels.union(prop)
+        prop = drop_empty_blocks(
+            sym_edges.join(
+                lsrc, join_type="inner", num_partitions=num_partitions, on=("src",)
+            ).select_columns(["dst", "lab"]).rename_columns({"dst": "node"})
+            .materialize()
+        )
+        # pointer jumping: lab(v) <- lab(lab(v)). lab(v) is always a node
+        # of v's component, so it has its own row in `labels`
+        parent = labels.rename_columns({"node": "lab", "lab": "lab2"})
+        short = drop_empty_blocks(
+            labels.join(
+                parent, join_type="inner", num_partitions=num_partitions, on=("lab",)
+            ).select_columns(["node", "lab2"]).rename_columns({"lab2": "lab"})
+            .materialize()
+        )
+        new_labels = drop_empty_blocks(
+            labels.union(prop).union(short)
             .groupby("node")
             .aggregate(Min("lab", alias_name="lab"))
             .materialize()
@@ -194,4 +234,10 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
         labels = new_labels
         if old_sum == new_sum:
             break
+    else:
+        raise RuntimeError(
+            f"propagate_min_labels: no fixpoint within {max_iters} rounds "
+            "(component diameter > 2**rounds should be impossible — "
+            "check the edge list for non-integer or null ids)"
+        )
     return labels.rename_columns({"node": "doc_id", "lab": "cluster_id"})
