@@ -200,7 +200,7 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
         .materialize()
     )
 
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         # neighbor labels: join labels onto edge sources, emit to dst
         # each join materializes as its OWN execution: two hash-shuffle
         # joins inside one streaming plan cross-wire their bundles in
@@ -213,17 +213,25 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
             ).select_columns(["dst", "lab"]).rename_columns({"dst": "node"})
             .materialize()
         )
-        # pointer jumping: lab(v) <- lab(lab(v)). lab(v) is always a node
-        # of v's component, so it has its own row in `labels`
-        parent = labels.rename_columns({"node": "lab", "lab": "lab2"})
-        short = drop_empty_blocks(
-            labels.join(
-                parent, join_type="inner", num_partitions=num_partitions, on=("lab",)
-            ).select_columns(["node", "lab2"]).rename_columns({"lab2": "lab"})
-            .materialize()
-        )
+        merged = labels.union(prop)
+        if rnd >= 2:
+            # pointer jumping: lab(v) <- lab(lab(v)). lab(v) is always a
+            # node of v's component, so it has its own row in `labels`.
+            # Engaged only once the near-clique common case (2-3 rounds)
+            # has had its chance to converge without the extra shuffle;
+            # from here rounds double the reach, so high-diameter
+            # components finish in O(log d) total.
+            parent = labels.rename_columns({"node": "lab", "lab": "lab2"})
+            short = drop_empty_blocks(
+                labels.join(
+                    parent, join_type="inner", num_partitions=num_partitions,
+                    on=("lab",),
+                ).select_columns(["node", "lab2"]).rename_columns({"lab2": "lab"})
+                .materialize()
+            )
+            merged = merged.union(short)
         new_labels = drop_empty_blocks(
-            labels.union(prop).union(short)
+            merged
             .groupby("node")
             .aggregate(Min("lab", alias_name="lab"))
             .materialize()
