@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
+
+from metacache_mpi_ray.stages.windows import _segments, _split_frag
 
 
 @ray.remote
@@ -147,11 +148,19 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
     Returns a Dataset (doc_id, cluster_id) covering every id that occurs
     in an edge. Rounds: label(v) = min(label(v), min over neighbors u of
     label(u), label(label(v))) until no label changes. The label(label(v))
-    term is pointer-jumping (one extra self-join per round), which makes
-    the round count O(log diameter) instead of O(diameter) — without it a
-    chain-shaped component longer than ``max_iters`` hops would silently
-    mislabel. Dedup clusters are near-cliques (2-3 rounds either way);
-    the shortcut is the guarantee for adversarial shapes at scale.
+    term is pointer-jumping, which makes the round count O(log diameter)
+    instead of O(diameter) — without it a chain-shaped component longer
+    than ``max_iters`` hops would silently mislabel. It costs no extra
+    shuffle: from round 3 the current (label -> node) pairs are unioned
+    into the join's edge side, so the one hash join per round propagates
+    along graph edges AND label pointers at once. Dedup clusters are
+    near-cliques (2-3 rounds; the pointer edges never engage).
+
+    The per-round min-aggregate uses sort + per-block segmented min with
+    a driver stitch of block-edge groups (the A2 topk_per_group pattern)
+    instead of ``groupby().aggregate(Min)``: at 1M distinct nodes the
+    hash aggregate measured 13-24 s/round against 1.5 s for the sorted
+    kernel; only two rows per block cross the driver.
     Raises if the fixpoint is not reached within ``max_iters`` rounds.
     """
 
@@ -192,56 +201,84 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
             return rd.from_arrow(pa.table({"node": empty, "lab": empty}))
         return rd.from_arrow_refs(refs)
 
-    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
-    labels = drop_empty_blocks(
-        edges.map_batches(seed, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("lab", alias_name="lab"))
-        .materialize()
-    )
+    def seg_min_kernel(t: pa.Table) -> pa.Table:
+        # per-block (node -> min lab) over globally-sorted rows; the
+        # first and last node of each block may continue in a neighbor
+        # block, so they are flagged as fragments for the driver stitch
+        empty_i64 = pa.array([], type=pa.int64())
+        if t.num_rows == 0:
+            return pa.table(
+                {"node": empty_i64, "lab": empty_i64,
+                 "__frag": pa.array([], type=pa.bool_())}
+            )
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        starts, _ = _segments(node)
+        frag = np.zeros(len(starts), dtype=bool)
+        frag[0] = frag[-1] = True
+        return pa.table(
+            {
+                "node": pa.array(node[starts], type=pa.int64()),
+                "lab": pa.array(
+                    np.minimum.reduceat(lab, starts), type=pa.int64()
+                ),
+                "__frag": pa.array(frag),
+            }
+        )
 
+    def grouped_min(ds):
+        srt = ds.sort("node")
+        final, frags = _split_frag(
+            srt.map_batches(seg_min_kernel, batch_format="pyarrow"),
+            ["node", "lab"],
+        )
+        if len(frags):
+            stitched = (
+                frags.groupby("node", as_index=False)["lab"].min()
+                .astype({"node": "int64", "lab": "int64"})
+            )
+            final = final.union(
+                rd.from_arrow(pa.Table.from_pandas(stitched, preserve_index=False))
+            )
+        return drop_empty_blocks(final.materialize())
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = grouped_min(edges.map_batches(seed, batch_format="pyarrow"))
+
+    old_sum = None
     for rnd in range(max_iters):
-        # neighbor labels: join labels onto edge sources, emit to dst
-        # each join materializes as its OWN execution: two hash-shuffle
-        # joins inside one streaming plan cross-wire their bundles in
-        # Ray 2.49 (a projected bundle from one join surfaces, raw, at
-        # the other join's input — observed as "no match for FieldRef").
+        # neighbor (and, from round 3, label-pointer) propagation: one
+        # hash join per round over the combined edge set
+        join_edges = sym_edges
+        if rnd >= 2:
+            # pointer jumping as EDGES: (src=lab(v), dst=v) rows make the
+            # join deliver lab(lab(v)) to v. Engaged only once the
+            # near-clique common case (2-3 rounds) has had its chance to
+            # converge without them; from here reach doubles per round.
+            def ptr_edges(t: pa.Table) -> pa.Table:
+                return pa.table({"src": t["lab"], "dst": t["node"]})
+
+            join_edges = sym_edges.union(
+                labels.map_batches(ptr_edges, batch_format="pyarrow")
+            )
         lsrc = labels.rename_columns({"node": "src"})
         prop = drop_empty_blocks(
-            sym_edges.join(
+            join_edges.join(
                 lsrc, join_type="inner", num_partitions=num_partitions, on=("src",)
             ).select_columns(["dst", "lab"]).rename_columns({"dst": "node"})
             .materialize()
         )
-        merged = labels.union(prop)
-        if rnd >= 2:
-            # pointer jumping: lab(v) <- lab(lab(v)). lab(v) is always a
-            # node of v's component, so it has its own row in `labels`.
-            # Engaged only once the near-clique common case (2-3 rounds)
-            # has had its chance to converge without the extra shuffle;
-            # from here rounds double the reach, so high-diameter
-            # components finish in O(log d) total.
-            parent = labels.rename_columns({"node": "lab", "lab": "lab2"})
-            short = drop_empty_blocks(
-                labels.join(
-                    parent, join_type="inner", num_partitions=num_partitions,
-                    on=("lab",),
-                ).select_columns(["node", "lab2"]).rename_columns({"lab2": "lab"})
-                .materialize()
-            )
-            merged = merged.union(short)
-        new_labels = drop_empty_blocks(
-            merged
-            .groupby("node")
-            .aggregate(Min("lab", alias_name="lab"))
-            .materialize()
-        )
-        # fixpoint check: any label decreased?
-        old_sum = labels.sum("lab")
+        new_labels = grouped_min(labels.union(prop))
+        # fixpoint check: any label decreased? (labels only ever
+        # decrease, so an unchanged sum means an unchanged table; the
+        # previous round's sum is carried, not recomputed)
+        if old_sum is None:
+            old_sum = labels.sum("lab")
         new_sum = new_labels.sum("lab")
         labels = new_labels
         if old_sum == new_sum:
             break
+        old_sum = new_sum
     else:
         raise RuntimeError(
             f"propagate_min_labels: no fixpoint within {max_iters} rounds "
