@@ -63,10 +63,16 @@ def build_index(
     config.json guard). Returns the clusters dataset. Resumable: a
     finished stage is read back instead of recomputed."""
     init_checkpoint_root(ckpt_root, cfg)
+    # coalesced to num_partitions blocks inside the signer execution:
+    # right-sizes both the checkpoint files (one per partition, the
+    # resumable layout) and every downstream sort/groupby, which pay
+    # per-input-block fixed costs (see pipelines/dedup.py)
     sigs = checkpointed_stage(
         ckpt_root,
         "signatures",
-        lambda: compute_signatures(docs, cfg, batch_size=128),
+        lambda: compute_signatures(docs, cfg, batch_size=128).repartition(
+            num_partitions
+        ),
     )
     edge_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("n_bands_hit", pa.int64())]
@@ -259,7 +265,13 @@ def _assemble_sorted_pairs(key_col: str, val_col: str, *tabs):
     return k[order], v[order]
 
 
-def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None):
+def probe_tagged_bands(
+    tagged,
+    cap: int,
+    *,
+    probe_batch_size: int | None = None,
+    num_partitions: int | None = None,
+):
     """(bkey, id, side) rows -> (new x stored) candidate pairs (a=new,
     b=stored) per band bucket: ONE ``sort("bkey")`` range shuffle, a
     vectorized per-batch segment kernel, and the flagship's bridge-row
@@ -343,6 +355,13 @@ def probe_tagged_bands(tagged, cap: int, *, probe_batch_size: int | None = None)
             }
         )
 
+    # coalesce before the sort: the band rows arrive in one block per
+    # checkpoint row group / signer task, and Ray's sort pays one sample
+    # + one reduce partition per INPUT block — over hundreds of tiny
+    # blocks that fixed cost dwarfs the shuffle itself (5x measured on
+    # the flagship's identical band sort, see pipelines/dedup.py)
+    if num_partitions is not None:
+        tagged = tagged.repartition(num_partitions)
     emitted = (
         tagged.sort("bkey")
         .map_batches(probe, batch_format="pyarrow", batch_size=probe_batch_size)
@@ -441,7 +460,10 @@ def query_against_index(
     # vectorized and idempotent, so re-verifying a pair found by k bands
     # costs less than a (new_id, idx_id) shuffle
     pairs = probe_tagged_bands(
-        tagged, cfg.bucket_cap, probe_batch_size=probe_batch_size
+        tagged,
+        cfg.bucket_cap,
+        probe_batch_size=probe_batch_size,
+        num_partitions=num_partitions,
     )
 
     sigs_all = sigs_new.select_columns(["doc_id", "sig"]).union(sigs_idx)
