@@ -1,0 +1,41 @@
+"""Block-level dataset utilities.
+
+``drop_empty_blocks`` works around a Ray 2.49 hash-shuffle quirk: join /
+groupby operators emit zero-row blocks carrying the operator's INTERNAL
+schema (the join's pre-projection columns, or no columns at all).
+Projections skip empty blocks, so the stowaways survive select/rename
+and later poison an acero join whose partition sees only them
+("No match ... for key field reference"). Pruning by block ref is
+metadata-only — no data moves.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def drop_empty_blocks(mat, schema: pa.Schema | None = None):
+    """Prune zero-row blocks from a MATERIALIZED dataset.
+
+    Returns a dataset over only the non-empty block refs. If EVERY
+    block is empty, returns an empty single-block dataset with
+    ``schema`` — pass the expected Arrow schema whenever the input
+    came through a hash-shuffle projection, because in the all-empty
+    case ``mat.schema()`` reports the very stowaway schema this
+    function exists to discard. Without ``schema`` the fallback is
+    ``mat.schema()`` (fine for inputs whose kernels emit typed empty
+    tables, e.g. map_batches stages with explicit empty branches).
+    """
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not refs:
+        if schema is None:
+            schema = mat.schema().base_schema
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)

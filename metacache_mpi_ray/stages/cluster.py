@@ -22,7 +22,33 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from metacache_mpi_ray.functions.blocks import drop_empty_blocks
 from metacache_mpi_ray.stages.windows import _segments, _split_frag
+
+
+def _exact_label_sum(ds) -> int:
+    """Overflow-free sum of the int63 ``lab`` column.
+
+    Summed as three 21-bit limbs (each partial sum stays < 2^63 for up
+    to 2^42 rows) and reassembled with Python bignums — exact where a
+    plain int64 sum of content-hash-scale labels wraps.
+    """
+    mask = (1 << 21) - 1
+
+    def limbs(t: pa.Table) -> pa.Table:
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(lab & mask, type=pa.int64()),
+                "mid": pa.array((lab >> 21) & mask, type=pa.int64()),
+                "hi": pa.array(lab >> 42, type=pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(limbs, batch_format="pyarrow").sum(["lo", "mid", "hi"])
+    if s is None:  # empty dataset
+        return 0
+    return int(s["sum(lo)"]) + (int(s["sum(mid)"]) << 21) + (int(s["sum(hi)"]) << 42)
 
 
 @ray.remote
@@ -182,24 +208,7 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
             }
         )
 
-    def drop_empty_blocks(mat):
-        # Ray 2.49's hash-shuffle join/groupby emit zero-row blocks
-        # carrying the operator's INTERNAL schema (the join's
-        # pre-projection columns, or no columns at all) — projections
-        # skip empty blocks, so the stowaways survive select/rename and
-        # later poison an acero join whose partition sees only them
-        # ("No match ... for key field"). Prune them by block ref:
-        # metadata-only, no data moves.
-        refs = [
-            ref
-            for bundle in mat.iter_internal_ref_bundles()
-            for ref, meta in zip(bundle.block_refs, bundle.metadata)
-            if meta.num_rows
-        ]
-        if not refs:
-            empty = pa.array([], type=pa.int64())
-            return rd.from_arrow(pa.table({"node": empty, "lab": empty}))
-        return rd.from_arrow_refs(refs)
+    label_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
 
     def seg_min_kernel(t: pa.Table) -> pa.Table:
         # per-block (node -> min lab) over globally-sorted rows; the
@@ -229,7 +238,12 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
     def grouped_min(ds):
         srt = ds.sort("node")
         final, frags = _split_frag(
-            srt.map_batches(seg_min_kernel, batch_format="pyarrow"),
+            # batch_size=None: whole sorted blocks, so exactly two
+            # fragment rows per BLOCK reach the driver stitch (the
+            # default 1024-row batches would ship 2 rows per ~1024)
+            srt.map_batches(
+                seg_min_kernel, batch_format="pyarrow", batch_size=None
+            ),
             ["node", "lab"],
         )
         if len(frags):
@@ -240,7 +254,7 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
             final = final.union(
                 rd.from_arrow(pa.Table.from_pandas(stitched, preserve_index=False))
             )
-        return drop_empty_blocks(final.materialize())
+        return drop_empty_blocks(final.materialize(), schema=label_schema)
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
     labels = grouped_min(edges.map_batches(seed, batch_format="pyarrow"))
@@ -266,15 +280,20 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
             join_edges.join(
                 lsrc, join_type="inner", num_partitions=num_partitions, on=("src",)
             ).select_columns(["dst", "lab"]).rename_columns({"dst": "node"})
-            .materialize()
+            .materialize(),
+            schema=label_schema,
         )
         new_labels = grouped_min(labels.union(prop))
-        # fixpoint check: any label decreased? (labels only ever
-        # decrease, so an unchanged sum means an unchanged table; the
-        # previous round's sum is carried, not recomputed)
+        # fixpoint check: any label decreased? Labels only ever
+        # decrease and the node set is fixed, so an unchanged EXACT sum
+        # means an unchanged table. int64 sum("lab") would wrap for
+        # 2^62-scale content-hash ids at >2 rows, so the sum is taken
+        # over three 21-bit limbs and reassembled in Python ints — one
+        # pass over labels per round, same as the naive sum. The
+        # previous round's sum is carried, not recomputed.
         if old_sum is None:
-            old_sum = labels.sum("lab")
-        new_sum = new_labels.sum("lab")
+            old_sum = _exact_label_sum(labels)
+        new_sum = _exact_label_sum(new_labels)
         labels = new_labels
         if old_sum == new_sum:
             break

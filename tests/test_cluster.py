@@ -118,3 +118,39 @@ def test_assign_clusters_distributed_matches_driver(ray_session):
         dst.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_exact_label_sum_no_wraparound(ray_session):
+    # content-hash ids are ~2^62; a plain int64 sum wraps at 2 rows
+    from metacache_mpi_ray.stages.cluster import _exact_label_sum
+
+    labs = np.array(
+        [(1 << 62) + 7, (1 << 62) + 11, (1 << 61) - 1, 0, 12345], dtype=np.int64
+    )
+    ds = rd.from_pandas(pd.DataFrame({"lab": labs})).repartition(3)
+    assert _exact_label_sum(ds) == int(sum(int(x) for x in labs))
+
+
+def test_propagate_min_labels_hash_scale_ids(ray_session):
+    # the fixpoint check must stay exact for 63-bit ids (wraparound of
+    # a naive sum would risk a premature break -> wrong labels)
+    base = (1 << 62) + 1000
+    a = np.array([base + 0, base + 1, base + 5], dtype=np.int64)
+    b = np.array([base + 1, base + 2, base + 6], dtype=np.int64)
+    edges = rd.from_pandas(pd.DataFrame({"a": a, "b": b})).repartition(2)
+    labels = propagate_min_labels(edges, num_partitions=4).to_pandas()
+    got = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    assert got == {
+        base + 0: base + 0, base + 1: base + 0, base + 2: base + 0,
+        base + 5: base + 5, base + 6: base + 5,
+    }
+
+
+def test_drop_empty_blocks_all_empty_fallback_schema(ray_session):
+    from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+
+    schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    empty = rd.from_arrow(schema.empty_table()).materialize()
+    out = drop_empty_blocks(empty, schema=schema)
+    assert out.count() == 0
+    assert out.schema().base_schema == schema
