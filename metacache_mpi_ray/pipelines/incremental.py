@@ -27,6 +27,7 @@ import glob
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -500,9 +501,12 @@ def query_against_index(
                 {"new_id": pa.array([], type=pa.int64()),
                  "cluster_id": pa.array([], type=pa.int64())}
             )
-        pos, found = lookup_sorted(ids_s, b)
-        out = np.where(found, cl[pos], b)  # stored doc absent from
-        # clusters artifact (shouldn't happen) -> fall back to its own id
+        if len(ids_s):
+            pos, found = lookup_sorted(ids_s, b)
+            out = np.where(found, cl[pos], b)  # stored doc absent from
+            # clusters artifact (shouldn't happen) -> fall back to its own id
+        else:
+            out = b.astype(np.int64)
         # partial per-batch min (combiner): one row per new_id per batch
         order = np.lexsort((out, a))
         a_s, o_s = a[order], out[order]
@@ -525,6 +529,16 @@ def query_against_index(
         .aggregate(Min("cluster_id", alias_name="matched_cluster_id"))
         .to_pandas()
     )
+    if "new_id" not in match_tbl.columns:
+        # nothing matched: the empty Ray groupby result loses its schema
+        # on to_pandas() (same quirk as functions/blocks.drop_empty_blocks
+        # documents) — rebuild the expected empty frame
+        match_tbl = pd.DataFrame(
+            {
+                "new_id": np.empty(0, dtype=np.int64),
+                "matched_cluster_id": np.empty(0, dtype=np.int64),
+            }
+        )
     m_ids = match_tbl["new_id"].to_numpy(dtype=np.int64)
     order = np.argsort(m_ids)
     m_ids = m_ids[order]
@@ -534,14 +548,17 @@ def query_against_index(
     def finish(t: pa.Table) -> pa.Table:
         ids_s, cl = ray.get(lref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos, found = lookup_sorted(ids_s, ids)
+        if len(ids_s):
+            pos, found = lookup_sorted(ids_s, ids)
+            mcl = np.where(found, cl[pos], -1)
+        else:  # nothing matched anywhere
+            found = np.zeros(len(ids), dtype=bool)
+            mcl = np.full(len(ids), -1, dtype=np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "matched": pa.array(found, type=pa.bool_()),
-                "matched_cluster_id": pa.array(
-                    np.where(found, cl[pos], -1), type=pa.int64()
-                ),
+                "matched_cluster_id": pa.array(mcl, type=pa.int64()),
             }
         )
 

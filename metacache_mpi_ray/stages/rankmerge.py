@@ -175,11 +175,10 @@ def classify_merged(
         if interior.any():
             s_i = starts[interior]
             z_i = sizes[interior]
-            # re-segment the interior rows only
-            sel = np.concatenate(
-                [np.arange(s, s + z) for s, z in zip(s_i.tolist(), z_i.tolist())]
-            )
-            rel_starts = np.concatenate([[0], np.cumsum(z_i)[:-1]])
+            # interior segments are exactly the contiguous rows between
+            # the end of the first segment and the start of the last
+            sel = np.arange(starts[1], starts[-1])
+            rel_starts = s_i - starts[1]
             bn, bh, lca, cl = _classify_segment_rows(
                 tx, hits[sel], nodes[sel], rel_starts, z_i,
                 hits_min, hits_diff_fraction, highest_rank,

@@ -392,6 +392,8 @@ def _verify_broadcast(edges, signatures, cfg: DedupConfig, wanted_ref=None):
         ids_s, sigs = ray.get(lookup_ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
+        if len(ids_s) == 0:  # no signatures -> every edge drops
+            a = b = np.empty(0, dtype=np.int64)
         ia, fa = lookup_sorted(ids_s, a)
         ib, fb = lookup_sorted(ids_s, b)
         est = (sigs[ia] == sigs[ib]).mean(axis=1) if len(a) else np.empty(0)

@@ -99,6 +99,29 @@ def test_matched_cluster_resolves_to_index_cluster(index_root):
     assert int(out["matched_cluster_id"].iloc[0]) == stored_cluster
 
 
+def test_query_all_fresh_batch_matches_nothing(index_root):
+    """A batch where NO doc matches the index must return a full
+    (matched=False, -1) frame — regression: the empty match groupby
+    loses its schema on to_pandas() and used to raise KeyError."""
+    root, _, _ = index_root
+    b_docs = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(30_000_000, 30_000_008), type=pa.int64()),
+                    "text": pa.array(
+                        [f"qwkx{i} vbzn{i} " * 40 for i in range(8)], type=pa.string()
+                    ),
+                }
+            )
+        )
+    )
+    out = query_against_index(b_docs, root, num_partitions=4).to_pandas()
+    assert len(out) == 8
+    assert not out["matched"].any()
+    assert (out["matched_cluster_id"] == -1).all()
+
+
 def test_query_refuses_config_mismatch(index_root):
     root, _, _ = index_root
     other = DedupConfig(sim_threshold=0.9)
