@@ -146,6 +146,25 @@ def assign_clusters_distributed(
     table onto docs. The scale path when the dup subset itself is too
     large for one driver-side DSU / one broadcast object."""
     labels = propagate_min_labels(edges, num_partitions=num_partitions)
+    if labels.count() == 0:
+        # zero edges -> every doc is its own singleton; Ray 2.49's hash
+        # join breaks on a globally-empty side (each partition
+        # reconstructs a schema-less empty right table), so skip it
+        def singleton(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].cast(pa.int64())
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "cluster_id": ids,
+                    "is_dup": pa.array(
+                        np.zeros(len(batch), dtype=bool), type=pa.bool_()
+                    ),
+                }
+            )
+
+        return docs.select_columns([id_col]).map_batches(
+            singleton, batch_format="pyarrow"
+        )
     joined = docs.select_columns([id_col]).join(
         labels,
         join_type="left_outer",
@@ -258,6 +277,17 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
     labels = grouped_min(edges.map_batches(seed, batch_format="pyarrow"))
+    if labels.count() == 0:
+        # zero edges: nothing to propagate, and an all-empty dataset on
+        # either side of the per-round hash join would surface the
+        # schema-less-empty-partition acero error this module documents.
+        # Build the output-schema empty table directly — rename_columns
+        # is a projection and projections SKIP empty blocks
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+            ).empty_table()
+        )
 
     old_sum = None
     for rnd in range(max_iters):

@@ -26,9 +26,22 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data as rd
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.signatures import sig_from_arrow
+
+
+def _nonempty_or_none(edges):
+    """Materialized ``edges`` if it has rows, else None.
+
+    Ray 2.49's hash join finalizes schema-less empty partitions when one
+    side is GLOBALLY empty ("No match ... for key field reference"), so
+    every join-strategy verify path short-circuits a zero-edge input.
+    The count on the materialized dataset is metadata-only, and the
+    join consumes the same materialized blocks."""
+    mat = edges.materialize()
+    return mat if mat.count() else None
 
 
 def lookup_sorted(sorted_ids: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -281,6 +294,9 @@ def verify_pairs_payload(
     # join fallback: payload rows ride the shuffle as packed binary
     if payload_dtype is None:
         raise ValueError("payload_dtype is required for the join strategy")
+    edges = _nonempty_or_none(edges)
+    if edges is None:
+        return rd.from_arrow(_empty())
     itemsize = np.dtype(payload_dtype).itemsize
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -595,6 +611,9 @@ def verify_edges_exact_jaccard(
         return edges.map_batches(score_b, batch_format="pyarrow")
 
     # join fallback: packed sets ride the shuffle
+    edges = _nonempty_or_none(edges)
+    if edges is None:
+        return rd.from_arrow(_empty())
     sa = sets_ds.rename_columns({"doc_id": "a", "shingles": "set_a"})
     sb = sets_ds.rename_columns({"doc_id": "b", "shingles": "set_b"})
     j = edges.select_columns(["a", "b"]).join(
@@ -623,6 +642,18 @@ def verify_edges_exact_jaccard(
 
 def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
     from metacache_mpi_ray.stages.signatures import sig_from_binary, sig_to_binary
+
+    edges = _nonempty_or_none(edges)
+    if edges is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "est_sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
 
     def pack(batch: pa.Table) -> pa.Table:
         return pa.table(

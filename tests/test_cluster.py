@@ -154,3 +154,16 @@ def test_drop_empty_blocks_all_empty_fallback_schema(ray_session):
     out = drop_empty_blocks(empty, schema=schema)
     assert out.count() == 0
     assert out.schema().base_schema == schema
+def test_assign_clusters_distributed_zero_edges(ray_session):
+    # a no-duplicate corpus produces an empty edge list; the distributed
+    # path must label every doc as its own singleton, not crash in the
+    # per-round join on a schema-less empty side
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(7, dtype=np.int64)}))
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array([], type=pa.int64()),
+                  "b": pa.array([], type=pa.int64())})
+    )
+    out = assign_clusters_distributed(docs, edges, num_partitions=4).to_pandas()
+    assert len(out) == 7
+    assert (out["cluster_id"] == out["doc_id"]).all()
+    assert not out["is_dup"].any()

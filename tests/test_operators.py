@@ -522,3 +522,56 @@ def test_verify_pairs_payload_join_empty_block():
         strategy="join", num_partitions=2,
     ).to_pandas()
     assert set(zip(out["a"], out["b"], out["dist"])) == {(1, 2, 0)}
+def test_verify_join_paths_zero_edges():
+    """A globally-empty edge list mustnot crash the join-strategy
+    verify paths (Ray 2.49 hash join finalizes schema-less empty
+    partitions when one side has no rows at all)."""
+    from metacache_mpi_ray.stages.verify import verify_edges, verify_pairs_payload
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+    from metacache_mpi_ray.stages.ingest import ingest_documents
+    from metacache_mpi_ray.config import DedupConfig
+
+    cfg = DedupConfig()
+    docs = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(6), type=pa.int64()),
+                    "text": pa.array(
+                        [" ".join(f"tok{i}y{j}" for j in range(50)) for i in range(6)]
+                    ),
+                }
+            )
+        )
+    )
+    sigs = compute_signatures(docs, cfg).materialize()
+    no_edges = rd.from_arrow(
+        pa.table({"a": pa.array([], type=pa.int64()),
+                  "b": pa.array([], type=pa.int64())})
+    )
+    out = verify_edges(no_edges, sigs, cfg, num_partitions=2, strategy="join")
+    # NB: Ray 2.49 to_pandas() drops columns on empty datasets; assert
+    # on the dataset schema instead
+    assert out.count() == 0 and out.schema().names == ["a", "b", "est_sim"]
+
+    vals = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "v": pa.array([10, 10], type=pa.int64())})
+    )
+
+    def extract(b):
+        return (
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False).reshape(-1, 1).astype(np.int64),
+        )
+
+    def score(x, y):
+        d = np.abs(x[:, 0] - y[:, 0])
+        return d, d == 0
+
+    out2 = verify_pairs_payload(
+        no_edges, vals, id_col="doc_id", extract=extract, score=score,
+        value_col="dist", value_type=pa.int64(), payload_dtype=np.int64,
+        strategy="join", num_partitions=2,
+    )
+    assert out2.count() == 0 and out2.schema().names == ["a", "b", "dist"]
