@@ -115,3 +115,24 @@ def test_pipeline_deterministic(corpus_dir):
     )
     assert (m["cluster_id_x"] == m["cluster_id_y"]).all()
     assert (m["is_dup_x"] == m["is_dup_y"]).all()
+def test_pipeline_block_size_invariant(corpus_dir):
+    """~16 KB blocks force hundreds of sorted-stream fragments; every
+    bucket/segment stitch must reassemble them to the identical result
+    (the at-scale regime where buckets straddle block boundaries)."""
+    from ray.data import DataContext
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages")
+    base = near_dup_pipeline(ingest_pages(pages), CFG, num_partitions=8).clusters.to_pandas()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = near_dup_pipeline(ingest_pages(pages), CFG, num_partitions=8).clusters.to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    m = base.sort_values("doc_id").reset_index(drop=True).merge(
+        tiny.sort_values("doc_id").reset_index(drop=True), on="doc_id"
+    )
+    assert len(m) == len(base)
+    assert (m["cluster_id_x"] == m["cluster_id_y"]).all()
+    assert (m["is_dup_x"] == m["is_dup_y"]).all()
