@@ -62,12 +62,17 @@ def write_run_report(clusters, out_dir: str):
         summary.groupby("n_members")
         .aggregate(Count(alias_name="n_clusters"))
         .to_pandas()
-        .sort_values("n_members")
     )
+    if "n_members" not in hist.columns:
+        # empty clusters: the empty groupby result loses its schema on
+        # to_pandas() (see functions/blocks.drop_empty_blocks)
+        hist = hist.reindex(columns=["n_members", "n_clusters"])
+    hist = hist.sort_values("n_members")
     n_docs = clusters.count()
     n_dups = clusters.map_batches(
         lambda t: pa.table({"d": t["is_dup"]}), batch_format="pyarrow"
     ).sum("d")
+    n_dups = n_dups or 0  # sum() is None on an empty dataset
     os.makedirs(out_dir, exist_ok=True)
     report = {
         "n_docs": int(n_docs),

@@ -39,6 +39,17 @@ def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, sizes
 
 
+def _sorted_schema(ds, sorted_ds):
+    """Schema of a materialized sort output. Ray 2.49's sort of an
+    EMPTY dataset yields zero blocks and ``schema()`` returns None, so
+    fall back to the pre-sort input's schema (sorting never changes
+    it); realistic empty inputs — read_parquet with no matching rows,
+    from_arrow, upstream map_batches with typed empty tables — all
+    carry one."""
+    sch = sorted_ds.schema()
+    return sch if sch is not None else ds.schema()
+
+
 def _split_frag(ds, final_cols: list[str]):
     """Split a combined (rows + __frag flag) dataset into the finalized
     Dataset and the tiny fragment DataFrame (driver-side stitch input)."""
@@ -79,7 +90,7 @@ def topk_per_group(
     sort_cols = [group_col, order_col] + tiebreak
     sort_desc = [False, descending] + [False] * len(tiebreak)
     sorted_ds = ds.sort(sort_cols, descending=sort_desc).materialize()
-    in_cols = list(sorted_ds.schema().names)
+    in_cols = list(_sorted_schema(ds, sorted_ds).names)
     out_cols = in_cols + ["rank"]
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -136,7 +147,7 @@ def lag_per_group(ds, group_col: str, ts_col: str, value_col: str, out_col: str 
     patches each block's first row from the fix map.
     """
     sorted_ds = ds.sort([group_col, ts_col]).materialize()
-    in_cols = list(sorted_ds.schema().names)
+    in_cols = list(_sorted_schema(ds, sorted_ds).names)
 
     def bridge(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -207,7 +218,7 @@ def sessionize(ds, group_col: str, ts_col: str, gap_us: int = 1800_000_000):
     renumbers — O(sessions of straddling keys), not O(rows).
     """
     sorted_ds = ds.sort([group_col, ts_col]).materialize()
-    sch = sorted_ds.schema()
+    sch = _sorted_schema(ds, sorted_ds)
     gtype = sch.types[sch.names.index(group_col)]
     out_cols = [group_col, "session_id", "n_events", "t_start", "t_end"]
 
@@ -282,7 +293,7 @@ def collect_members(ds, key_col: str, id_col: str):
     to the output, so the join runs per segment inside a single
     vectorized batch pass (not one Ray map_groups call per group)."""
     sorted_ds = ds.sort([key_col, id_col]).materialize()
-    sch = sorted_ds.schema()
+    sch = _sorted_schema(ds, sorted_ds)
     ktype = sch.types[sch.names.index(key_col)]
     out_cols = [key_col, "rep_id", "members"]
 
@@ -375,7 +386,7 @@ def quantile_per_group(ds, group_col: str, value_col: str, q: float):
     sorted_ds = ds.select_columns([group_col, value_col]).sort(
         [group_col, value_col]
     ).materialize()
-    sch = sorted_ds.schema()
+    sch = _sorted_schema(ds, sorted_ds)
     gtype = sch.types[sch.names.index(group_col)]
     vtype = sch.types[sch.names.index(value_col)]
     out_cols = [group_col, "quantile"]

@@ -95,3 +95,51 @@ def test_kperm_scheme_end_to_end():
     m = cl.set_index("doc_id")["cluster_id"]
     assert m[0] == m[1] == m[2]
     assert m[3] != m[0]
+def test_windows_family_empty_input():
+    """Every windowed operator must return an empty result (not crash)
+    on an empty event table — Ray's sort of an empty dataset loses the
+    schema, which used to break the post-sort schema lookups."""
+    from ray.data.aggregate import Count
+
+    from metacache_mpi_ray.stages.windows import (
+        collect_members,
+        hopping_window_agg,
+        lag_per_group,
+        quantile_per_group,
+        sessionize,
+        topk_per_group,
+        tumbling_window_agg,
+    )
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    assert topk_per_group(ev, "user_id", "val", 3).count() == 0
+    assert lag_per_group(ev, "user_id", "ts", "val").count() == 0
+    assert sessionize(ev, "user_id", "ts").count() == 0
+    assert collect_members(ev, "user_id", "ts").count() == 0
+    assert quantile_per_group(ev, "user_id", "val", 0.5).count() == 0
+    assert hopping_window_agg(ev, "user_id", "ts", 100, 50, [Count(alias_name="n")]).count() == 0
+    assert tumbling_window_agg(ev, "user_id", "ts", 100, [Count(alias_name="n")]).count() == 0
+
+
+def test_run_report_empty_clusters(tmp_path):
+    from metacache_mpi_ray.pipelines.outputs import write_run_report
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+                "is_dup": pa.array([], type=pa.bool_()),
+            }
+        )
+    )
+    rep = write_run_report(empty, str(tmp_path))
+    assert rep == {"n_docs": 0, "n_dups": 0, "dup_rate": 0.0, "size_histogram": {}}
