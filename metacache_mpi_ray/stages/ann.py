@@ -27,12 +27,32 @@ from metacache_mpi_ray.functions.hashing import U64, splitmix64
 
 
 def _emb_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix."""
+    """list<float> column -> (n, d) float64 matrix.
+
+    Null rows become zero vectors — norm 0, so they score cosine 0 and
+    never match — instead of silently misaligning every row after them
+    (flatten() drops null slots' values). A ragged valid row raises."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    lens = col.value_lengths().drop_null().to_numpy(zero_copy_only=False)
+    if len(lens) and (lens != lens[0]).any():
+        raise ValueError(
+            "ragged embedding column: list lengths "
+            f"{sorted(set(lens.tolist()))} (expected one fixed dimension)"
+        )
+    if col.null_count == 0:
+        return flat.reshape(n, -1)
+    if not len(lens):  # every row null
+        return np.zeros((n, 0))
+    d = int(lens[0])
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    out = np.zeros((n, d))
+    out[valid] = flat.reshape(-1, d)
+    return out
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -575,3 +575,29 @@ def test_verify_join_paths_zero_edges():
         strategy="join", num_partitions=2,
     )
     assert out2.count() == 0 and out2.schema().names == ["a", "b", "dist"]
+def test_emb_matrix_null_and_ragged_rows():
+    """Null embedding rows become zero vectors (cosine 0 — never match)
+    instead of misaligning every later row; ragged rows raise."""
+    import pytest as _pytest
+
+    from metacache_mpi_ray.stages.ann import _emb_matrix, brute_force_topk
+
+    rng = np.random.default_rng(0)
+    vecs = [rng.normal(size=8).tolist() for _ in range(10)]
+    vecs[2] = None
+    arr = pa.array(vecs, type=pa.list_(pa.float64()))
+    m = _emb_matrix(arr)
+    assert m.shape == (10, 8)
+    assert (m[2] == 0).all()
+    assert np.allclose(m[3], vecs[3])
+
+    emb = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(10), type=pa.int64()), "embedding": arr})
+    )
+    top = brute_force_topk(emb, [0], k=3).to_pandas()
+    assert 2 not in set(top["neighbor_id"])  # null row never matches
+
+    with _pytest.raises(ValueError, match="ragged"):
+        _emb_matrix(pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]], type=pa.list_(pa.float64())))
+
+    assert _emb_matrix(pa.array([None, None], type=pa.list_(pa.float64()))).shape == (2, 0)
