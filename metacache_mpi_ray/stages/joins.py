@@ -105,6 +105,13 @@ def asof_lookup(ds, keys_sorted: np.ndarray, values: np.ndarray, on: str, out_co
     def f(batch: pa.Table) -> pa.Table:
         k, v = ray.get(ref)
         x = batch[on].to_numpy(zero_copy_only=False)
+        if len(k) == 0:  # empty lookup: every row is before the first key
+            arr = pa.array(
+                np.zeros(len(x), dtype=np.int64),
+                type=pa.int64(),
+                mask=np.ones(len(x), dtype=bool),
+            )
+            return batch.append_column(out_col, arr)
         idx = np.searchsorted(k, x, side="right") - 1
         valid = idx >= 0
         out = np.where(valid, v[np.maximum(idx, 0)], 0)

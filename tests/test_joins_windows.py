@@ -209,3 +209,17 @@ def test_merge_runs_reconnects_split_halves(corpus_dir):
     r = ref.sort_values("doc_id").reset_index(drop=True)
     # merging a run with itself must be idempotent
     assert (m["cluster_id"].values == r["cluster_id"].values).all()
+def test_asof_lookup_empty_table():
+    # an empty lookup table means every row precedes the first key ->
+    # all-null out column (used to IndexError on the empty value gather)
+    from metacache_mpi_ray.stages.joins import asof_lookup
+
+    ds = rd.from_arrow(
+        pa.table({"t": pa.array([1, 5, 9], type=pa.int64())})
+    )
+    out = asof_lookup(
+        ds, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+        on="t", out_col="step",
+    ).to_pandas()
+    assert len(out) == 3
+    assert out["step"].isna().all()
