@@ -36,6 +36,26 @@ def drop_empty_blocks(mat, schema: pa.Schema | None = None):
     ]
     if not refs:
         if schema is None:
-            schema = mat.schema().base_schema
+            got = mat.schema()
+            if got is None:
+                # e.g. the materialized sort of an empty dataset has
+                # ZERO blocks and no schema at all — without the
+                # caller-supplied fallback there is nothing to build
+                raise ValueError(
+                    "drop_empty_blocks: dataset has no blocks and no "
+                    "schema; pass the expected schema explicitly"
+                )
+            schema = got.base_schema
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(refs)
+
+
+def ensure_columns(df, columns: list[str]):
+    """pandas frame with at least ``columns`` — the empty result of a
+    Ray groupby/aggregate loses its schema on ``to_pandas()`` (zero-row
+    shuffle blocks carry the operator's internal schema, or none), so
+    every driver-side consumer of a possibly-empty grouped table
+    rebuilds the expected columns through this ONE helper."""
+    if all(c in df.columns for c in columns):
+        return df
+    return df.reindex(columns=columns)

@@ -35,6 +35,7 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.functions.blocks import ensure_columns
 from metacache_mpi_ray.stages.banding import compute_bands
 from metacache_mpi_ray.stages.candidates import (
     _combine_keys,
@@ -529,16 +530,9 @@ def query_against_index(
         .aggregate(Min("cluster_id", alias_name="matched_cluster_id"))
         .to_pandas()
     )
-    if "new_id" not in match_tbl.columns:
-        # nothing matched: the empty Ray groupby result loses its schema
-        # on to_pandas() (same quirk as functions/blocks.drop_empty_blocks
-        # documents) — rebuild the expected empty frame
-        match_tbl = pd.DataFrame(
-            {
-                "new_id": np.empty(0, dtype=np.int64),
-                "matched_cluster_id": np.empty(0, dtype=np.int64),
-            }
-        )
+    # nothing matched -> the empty groupby loses its schema on
+    # to_pandas(); rebuild the expected columns
+    match_tbl = ensure_columns(match_tbl, ["new_id", "matched_cluster_id"])
     m_ids = match_tbl["new_id"].to_numpy(dtype=np.int64)
     order = np.argsort(m_ids)
     m_ids = m_ids[order]

@@ -63,11 +63,10 @@ def write_run_report(clusters, out_dir: str):
         .aggregate(Count(alias_name="n_clusters"))
         .to_pandas()
     )
-    if "n_members" not in hist.columns:
-        # empty clusters: the empty groupby result loses its schema on
-        # to_pandas() (see functions/blocks.drop_empty_blocks)
-        hist = hist.reindex(columns=["n_members", "n_clusters"])
-    hist = hist.sort_values("n_members")
+    from metacache_mpi_ray.functions.blocks import ensure_columns
+
+    # empty clusters: the empty groupby loses its schema on to_pandas()
+    hist = ensure_columns(hist, ["n_members", "n_clusters"]).sort_values("n_members")
     n_docs = clusters.count()
     n_dups = clusters.map_batches(
         lambda t: pa.table({"d": t["is_dup"]}), batch_format="pyarrow"

@@ -49,10 +49,37 @@ def _emb_matrix(col) -> np.ndarray:
     if not len(lens):  # every row null
         return np.zeros((n, 0))
     d = int(lens[0])
+    if d == 0:  # nulls + zero-length valid rows: nothing to gather
+        return np.zeros((n, 0))
     valid = col.is_valid().to_numpy(zero_copy_only=False)
     out = np.zeros((n, d))
     out[valid] = flat.reshape(-1, d)
     return out
+
+
+def _valid_emb(batch: pa.Table, id_col: str = "vec_id"):
+    """(ids, matrix) over only the rows with a non-null embedding.
+
+    A null embedding can never match anything, so every consumer drops
+    the row up front — this also keeps the matrix width stable across
+    blocks (an all-null BLOCK would otherwise produce a width-0 matrix
+    that breaks matmuls against fixed-d query/centroid/plane
+    matrices)."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        batch = batch.filter(col.is_valid())
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, _emb_matrix(batch["embedding"])
+
+
+def _drop_null_emb(batch: pa.Table) -> pa.Table:
+    """Batch minus its null-embedding rows (see _valid_emb)."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return batch.filter(col.is_valid()) if col.null_count else batch
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -72,8 +99,14 @@ class BruteForceScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_emb_matrix(batch["embedding"]))
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        ids, raw = _valid_emb(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "sim": pa.array([], type=pa.float64())}
+            )
+        vecs = _normalize(raw)
         sims = self.q_mat @ vecs.T  # (nq, nb)
         nq, nb = sims.shape
         k = min(self.k, nb)
@@ -202,6 +235,9 @@ def ivf_topk(
     probe_ref = ray.put(np.sort(probe_cells))
 
     def cell_filter(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_emb(batch)  # null rows belong to no cell
+        if len(batch) == 0:
+            return batch
         c = ray.get(cent_ref)
         pr = ray.get(probe_ref)
         mat = _normalize(_emb_matrix(batch["embedding"]))
@@ -249,9 +285,13 @@ def build_ivf_index(
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_emb(batch)  # null rows are not indexable
         c = ray.get(cent_ref)
         mat = _normalize(_emb_matrix(batch["embedding"]))
-        cells = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        if len(batch) == 0:
+            cells = np.empty(0, dtype=np.int64)
+        else:
+            cells = (mat @ c.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("cell", pa.array(cells, type=pa.int64()))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -367,8 +407,13 @@ def embedding_near_dup(
     from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
 
     def emit_codes(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_emb_matrix(batch["embedding"]))
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, raw = _valid_emb(batch)  # null rows can never near-dup
+        if len(ids) == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table(
+                {"table_id": empty, "code": empty, "doc_id": empty}
+            )
+        mat = _normalize(raw)
         tabs, codes, outids = [], [], []
         for t in range(n_tables):
             c = hyperplane_codes(mat, n_planes, seed + 1000 * t)
@@ -399,8 +444,9 @@ def embedding_near_dup(
     from metacache_mpi_ray.stages.verify import verify_pairs_payload
 
     def extract(batch: pa.Table):
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return ids, _normalize(_emb_matrix(batch["embedding"]))
+        # null rows drop here; verify then drops any edge touching them
+        ids, raw = _valid_emb(batch)
+        return ids, _normalize(raw)
 
     def score(va: np.ndarray, vb: np.ndarray):
         sim = (va * vb).sum(axis=1)

@@ -165,6 +165,8 @@ def _collect_payload_subset(table, id_col, wanted, extract, bytes_limit=None):
     ids_out, pay_out, nbytes = [], [], 0
     for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids, pay = extract(b)
+        if len(ids) == 0:  # extract may drop every row of a block
+            continue
         ids_out.append(ids)
         pay_out.append(pay)
         nbytes += pay.nbytes
@@ -244,6 +246,11 @@ def verify_pairs_payload(
                     if len(t) == 0:
                         continue
                     i, p = extract(t)
+                    if len(i) == 0:
+                        # extract may drop every row of a block (e.g.
+                        # all-null payloads); a width-0 empty matrix
+                        # would break the concatenate below
+                        continue
                     ids_out.append(i)
                     pay_out.append(p)
                 if not ids_out:
@@ -295,7 +302,10 @@ def verify_pairs_payload(
     if payload_dtype is None:
         raise ValueError("payload_dtype is required for the join strategy")
     edges = _nonempty_or_none(edges)
-    if edges is None:
+    if edges is None or table.limit(1).count() == 0:
+        # an all-empty side crashes the Ray 2.49 hash join (see
+        # _nonempty_or_none); the empty-payload probe is a one-row
+        # prefix execution, cheap for any non-empty table
         return rd.from_arrow(_empty())
     itemsize = np.dtype(payload_dtype).itemsize
 
@@ -612,7 +622,7 @@ def verify_edges_exact_jaccard(
 
     # join fallback: packed sets ride the shuffle
     edges = _nonempty_or_none(edges)
-    if edges is None:
+    if edges is None or sets_ds.limit(1).count() == 0:
         return rd.from_arrow(_empty())
     sa = sets_ds.rename_columns({"doc_id": "a", "shingles": "set_a"})
     sb = sets_ds.rename_columns({"doc_id": "b", "shingles": "set_b"})
@@ -644,7 +654,7 @@ def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
     from metacache_mpi_ray.stages.signatures import sig_from_binary, sig_to_binary
 
     edges = _nonempty_or_none(edges)
-    if edges is None:
+    if edges is None or signatures.limit(1).count() == 0:
         return rd.from_arrow(
             pa.table(
                 {

@@ -167,3 +167,25 @@ def test_assign_clusters_distributed_zero_edges(ray_session):
     assert len(out) == 7
     assert (out["cluster_id"] == out["doc_id"]).all()
     assert not out["is_dup"].any()
+def test_drop_empty_blocks_no_schema_raises(ray_session):
+    # the materialized sort of an empty dataset has zero blocks and no
+    # schema; without the caller fallback there is nothing to build
+    from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+
+    empty = rd.from_arrow(
+        pa.table({"x": pa.array([], type=pa.int64())})
+    ).sort("x").materialize()
+    if empty.schema() is not None:  # future Ray may fix this; then n/a
+        pytest.skip("sort of empty dataset kept its schema")
+    with pytest.raises(ValueError, match="pass the expected schema"):
+        drop_empty_blocks(empty)
+
+
+def test_ensure_columns():
+    from metacache_mpi_ray.functions.blocks import ensure_columns
+
+    full = pd.DataFrame({"a": [1], "b": [2]})
+    assert ensure_columns(full, ["a", "b"]) is full
+    empty = pd.DataFrame()
+    out = ensure_columns(empty, ["a", "b"])
+    assert list(out.columns) == ["a", "b"] and len(out) == 0

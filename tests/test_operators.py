@@ -601,3 +601,55 @@ def test_emb_matrix_null_and_ragged_rows():
         _emb_matrix(pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]], type=pa.list_(pa.float64())))
 
     assert _emb_matrix(pa.array([None, None], type=pa.list_(pa.float64()))).shape == (2, 0)
+    # null + zero-length valid rows: coherent (n, 0), not a reshape error
+    assert _emb_matrix(pa.array([None, []], type=pa.list_(pa.float64()))).shape == (2, 0)
+
+
+def test_ann_all_null_embedding_block():
+    """A BLOCK whose embeddings are all null must not crash the scorer
+    (a width-0 matrix would break the matmul against the query matrix);
+    null rows simply drop."""
+    from metacache_mpi_ray.stages.ann import brute_force_topk, embedding_near_dup
+
+    rng = np.random.default_rng(1)
+    good = pa.table(
+        {
+            "vec_id": pa.array(range(8), type=pa.int64()),
+            "embedding": pa.array(
+                [rng.normal(size=8).tolist() for _ in range(8)],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    allnull = pa.table(
+        {
+            "vec_id": pa.array([100, 101], type=pa.int64()),
+            "embedding": pa.array([None, None], type=pa.list_(pa.float64())),
+        }
+    )
+    emb = rd.from_arrow(good).union(rd.from_arrow(allnull))
+    top = brute_force_topk(emb, [0], k=3).to_pandas()
+    assert len(top) == 3
+    assert not {100, 101} & set(top["neighbor_id"])
+    pairs = embedding_near_dup(emb, sim_threshold=0.99, num_partitions=2).to_pandas()
+    if len(pairs):
+        assert not {100, 101} & (set(pairs["a"]) | set(pairs["b"]))
+
+
+def test_verify_join_paths_empty_signatures():
+    """A globally-empty signatures/payload side of the join-strategy
+    verify paths must return empty, not crash the hash join."""
+    from metacache_mpi_ray.config import DedupConfig
+    from metacache_mpi_ray.stages.verify import verify_edges
+
+    cfg = DedupConfig()
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array([1], type=pa.int64()),
+                  "b": pa.array([2], type=pa.int64())})
+    )
+    no_sigs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "sig": pa.array([], type=pa.large_binary())})
+    )
+    out = verify_edges(edges, no_sigs, cfg, num_partitions=2, strategy="join")
+    assert out.count() == 0 and out.schema().names == ["a", "b", "est_sim"]
