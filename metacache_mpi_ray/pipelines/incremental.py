@@ -27,7 +27,6 @@ import glob
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -45,7 +44,11 @@ from metacache_mpi_ray.stages.candidates import (
 )
 from metacache_mpi_ray.stages.cluster import assign_clusters
 from metacache_mpi_ray.stages.signatures import compute_signatures
-from metacache_mpi_ray.stages.verify import lookup_sorted, verify_edges
+from metacache_mpi_ray.stages.verify import (
+    filter_to_ids,
+    lookup_sorted,
+    verify_edges,
+)
 from metacache_mpi_ray.state.checkpoint import (
     ConfigMismatch,
     checkpointed_stage,
@@ -76,6 +79,18 @@ def build_index(
             num_partitions
         ),
     )
+    # the queryable band table (bkey, doc_id) is part of the persisted
+    # index — queries probe it directly instead of re-banding millions
+    # of stored signatures per batch (the reference stores the feature
+    # multimap itself, not just the sketches). Computed FIRST so the
+    # edges stage buckets over it instead of re-banding the corpus
+    # (bucket_edges refolds bkey through splitmix64 — a bijection, so
+    # the bucket structure is identical)
+    bands = checkpointed_stage(
+        ckpt_root,
+        "bands",
+        lambda: _band_keys(sigs, cfg, "doc_id"),
+    )
     edge_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("n_bands_hit", pa.int64())]
     )
@@ -85,23 +100,14 @@ def build_index(
         empty_schema=edge_schema,
         compute=lambda: dedupe_edges(
             bucket_edges(
-                compute_bands(sigs, cfg),
-                key_cols=["band_id", "band_hash"],
+                bands,
+                key_cols=["bkey"],
                 id_col="doc_id",
                 cap=cfg.bucket_cap,
                 num_partitions=num_partitions,
             ),
             num_partitions=num_partitions,
         ),
-    )
-    # the queryable band table (bkey, doc_id) is part of the persisted
-    # index — queries probe it directly instead of re-banding millions
-    # of stored signatures per batch (the reference stores the feature
-    # multimap itself, not just the sketches)
-    checkpointed_stage(
-        ckpt_root,
-        "bands",
-        lambda: _band_keys(sigs, cfg, "doc_id"),
     )
     verified = checkpointed_stage(
         ckpt_root,
@@ -177,7 +183,13 @@ class ReplIndex:
         order = np.argsort(self.sig_ids)
         self.sig_ids = self.sig_ids[order]
         self.sig_mat = sig_from_arrow(sig_tab["sig"])[order]
-        bands = _read_stage(ckpt_root, "bands").to_pandas()
+        try:
+            bands = _read_stage(ckpt_root, "bands").to_pandas()
+        except FileNotFoundError:
+            # index built by an older writer without a bands artifact:
+            # derive the band table from the in-RAM signatures (the same
+            # fallback query_against_index uses)
+            bands = self._bands_from_sigs()
         bk = bands["bkey"].to_numpy(dtype=np.int64)
         order = np.argsort(bk)
         self.band_keys = bk[order]
@@ -189,6 +201,33 @@ class ReplIndex:
         order = np.argsort(ci)
         self.cl_ids = ci[order]
         self.cl_lab = cl["cluster_id"].to_numpy(dtype=np.int64)[order]
+
+    def _bands_from_sigs(self):
+        """(bkey, doc_id) frame derived from the in-RAM signature
+        matrix — same kernels as the persisted bands artifact."""
+        import pandas as pd
+
+        from metacache_mpi_ray.stages.banding import _to_i63, band_hashes
+        from metacache_mpi_ray.stages.candidates import _combine_keys
+
+        bh = _to_i63(band_hashes(self.sig_mat, self.cfg))  # (n, n_bands)
+        n, nb = bh.shape
+        key_tab = pa.table(
+            {
+                "band_id": pa.array(
+                    np.tile(np.arange(nb, dtype=np.int64), n), type=pa.int64()
+                ),
+                "band_hash": pa.array(bh.reshape(-1), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(self.sig_ids, nb), type=pa.int64()),
+            }
+        )
+        folded = _combine_keys(key_tab, ["band_id", "band_hash"], "doc_id")
+        return pd.DataFrame(
+            {
+                "bkey": folded["bkey"].to_numpy(zero_copy_only=False),
+                "doc_id": folded["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
 
     def query(self, text: str, top_k: int = 5) -> dict:
         from metacache_mpi_ray.functions.text import normalize_text_py
@@ -216,9 +255,17 @@ class ReplIndex:
         )
         lo = np.searchsorted(self.band_keys, qkeys, side="left")
         hi = np.searchsorted(self.band_keys, qkeys, side="right")
+        cap = self.cfg.bucket_cap
         cand = np.unique(
             np.concatenate(
-                [self.band_docs[l:h] for l, h in zip(lo.tolist(), hi.tolist())]
+                # over-cap buckets are non-discriminative and dropped,
+                # matching the batch probe's hot-feature-removal policy
+                # (and bounding per-query work, the reference's maxcand)
+                [
+                    self.band_docs[l:h]
+                    for l, h in zip(lo.tolist(), hi.tolist())
+                    if h - l <= cap
+                ]
                 or [np.empty(0, dtype=np.int64)]
             )
         )
@@ -334,7 +381,11 @@ def probe_tagged_bands(
             a = np.empty(0, dtype=np.int64)
             b = np.empty(0, dtype=np.int64)
         # bridge rows: every member of the batch's first and last bucket
-        # (potential split fragments), side riding in column b
+        # (potential split fragments), side riding in column b. EVERY
+        # boundary fragment also ships one size MARKER row (b = -1,
+        # a = fragment size) — over-cap fragments ship ONLY the marker,
+        # so the stitch can enforce the cap on the REASSEMBLED bucket
+        # total without the hot members ever crossing the driver
         bridge_idx = [0] if nseg == 1 else [0, nseg - 1]
         bk_l, bm_l, bs_l = [], [], []
         for gi in bridge_idx:
@@ -343,6 +394,9 @@ def probe_tagged_bands(
                 bm_l.append(ids[sl])
                 bs_l.append(side[sl].astype(np.int64))
                 bk_l.append(np.full(sizes[gi], keys[starts[gi]], dtype=np.int64))
+            bm_l.append(np.array([sizes[gi]], dtype=np.int64))
+            bs_l.append(np.array([-1], dtype=np.int64))
+            bk_l.append(np.array([keys[starts[gi]]], dtype=np.int64))
         bm = np.concatenate(bm_l) if bm_l else np.empty(0, dtype=np.int64)
         bs = np.concatenate(bs_l) if bs_l else np.empty(0, dtype=np.int64)
         bk = np.concatenate(bk_l) if bk_l else np.empty(0, dtype=np.int64)
@@ -378,8 +432,13 @@ def probe_tagged_bands(
         for _, grp in bridges.groupby("bridge_key"):
             ids_g = grp["a"].to_numpy(dtype=np.int64)
             side_g = grp["b"].to_numpy(dtype=np.int64)
-            if len(ids_g) > cap:
-                continue  # reassembled bucket overpopulated -> drop
+            markers = side_g == -1
+            # the reassembled bucket's TRUE size is the sum of its
+            # fragment-size markers — including over-cap fragments whose
+            # members never shipped; the hot-feature-removal policy
+            # applies to that total, exactly like bucket_edges' bsz
+            if ids_g[markers].sum() > cap:
+                continue
             new = ids_g[side_g == 1]
             stored = ids_g[side_g == 0]
             if len(new) and len(stored):
@@ -482,13 +541,9 @@ def query_against_index(
     )
     clusters_idx = _read_stage(ckpt_root, "clusters", columns=["doc_id", "cluster_id"])
 
-    def pick(t: pa.Table) -> pa.Table:
-        w = ray.get(mref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        _, found = lookup_sorted(w, ids)
-        return t.filter(pa.array(found))
-
-    sub = clusters_idx.map_batches(pick, batch_format="pyarrow")
+    sub = clusters_idx.map_batches(
+        filter_to_ids("doc_id", mref), batch_format="pyarrow"
+    )
     cref = _assemble_sorted_pairs.remote(
         "doc_id", "cluster_id", *(sub.to_arrow_refs() or [])
     )

@@ -316,6 +316,8 @@ def bucket_all_pairs(
     key_cols: list[str],
     id_col: str = "doc_id",
     cap: int = 256,
+    *,
+    batch_size: int | None = None,
 ):
     """rows(key_cols..., id_col) -> ALL distinct pairs (a < b) per
     bucket, capped at ``cap`` members (over-cap buckets dropped).
@@ -353,19 +355,27 @@ def bucket_all_pairs(
         a, b = segment_all_pairs(ids, starts, sizes, (sizes > 1) & (sizes <= cap))
         # bridge rows: every member of the batch's first and last
         # segment (potential split fragments), if the fragment is
-        # within cap
+        # within cap; EVERY boundary fragment also ships one size
+        # MARKER row (b = -1, a = fragment size) so the stitch can
+        # enforce the cap on the REASSEMBLED total even when an
+        # over-cap fragment's members never shipped
         bridge_idx = [0] if nseg == 1 else [0, nseg - 1]
-        bk_list, bm_list = [], []
+        bk_list, bm_list, bside = [], [], []
         for gi in bridge_idx:
             if sizes[gi] <= cap:
                 bm_list.append(ids[starts[gi] : starts[gi] + sizes[gi]])
+                bside.append(ids[starts[gi] : starts[gi] + sizes[gi]])
                 bk_list.append(np.full(sizes[gi], keys[starts[gi]], dtype=np.int64))
+            bm_list.append(np.array([sizes[gi]], dtype=np.int64))
+            bside.append(np.array([-1], dtype=np.int64))
+            bk_list.append(np.array([keys[starts[gi]]], dtype=np.int64))
         bk = np.concatenate(bk_list) if bk_list else np.empty(0, dtype=np.int64)
         bm = np.concatenate(bm_list) if bm_list else np.empty(0, dtype=np.int64)
+        bs = np.concatenate(bside) if bside else np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 "a": pa.array(np.concatenate([a, bm]), type=pa.int64()),
-                "b": pa.array(np.concatenate([b, bm]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b, bs]), type=pa.int64()),
                 "bridge_key": pa.array(
                     np.concatenate([np.zeros(len(a), dtype=np.int64), bk]),
                     type=pa.int64(),
@@ -373,16 +383,28 @@ def bucket_all_pairs(
             }
         )
 
-    emitted = keyed.sort("bkey").map_batches(emit, batch_format="pyarrow").materialize()
+    emitted = (
+        keyed.sort("bkey")
+        .map_batches(emit, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
 
     edges, bridges = split_edges_and_bridges(
-        emitted, ["a", "b"], ["a", "bridge_key"]
+        emitted, ["a", "b"], ["a", "b", "bridge_key"]
     )
     if len(bridges):
         extra_a, extra_b = [], []
         for _, grp in bridges.groupby("bridge_key"):
-            members = np.unique(grp["a"].to_numpy(dtype=np.int64))
-            if len(members) < 2 or len(members) > cap:
+            av = grp["a"].to_numpy(dtype=np.int64)
+            bv = grp["b"].to_numpy(dtype=np.int64)
+            markers = bv == -1
+            # true reassembled size = sum of fragment-size markers (the
+            # over-cap fragments counted even though their members
+            # never shipped)
+            if av[markers].sum() > cap:
+                continue
+            members = np.unique(av[~markers])
+            if len(members) < 2:
                 continue
             i, j = np.triu_indices(len(members), 1)
             extra_a.append(members[i])

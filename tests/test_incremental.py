@@ -303,3 +303,69 @@ def test_repl_index_agrees_with_batch_query(index_root):
     assert n_matched > 0
     # unknown text stays unmatched
     assert repl.query("never seen text " * 30)["matched"] is False
+def test_repl_index_pre_bands_artifact_fallback(index_root, tmp_path):
+    """An index built by an older writer without a bands artifact must
+    still serve the repl (same fallback the batch path has)."""
+    import shutil
+
+    from metacache_mpi_ray.pipelines.incremental import ReplIndex
+
+    root, _, corpus_dir = index_root
+    old_root = str(tmp_path / "old_index")
+    shutil.copytree(root, old_root)
+    shutil.rmtree(f"{old_root}/bands")
+    import os
+
+    for f in os.listdir(old_root):
+        if f.startswith("bands."):
+            os.remove(os.path.join(old_root, f))
+    repl_old = ReplIndex(old_root)
+    repl_new = ReplIndex(root)
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    text = pages[pages["text"].notna()]["text"].iloc[0]
+    a = repl_old.query(text)
+    b = repl_new.query(text)
+    assert a["matched"] and b["matched"]
+    assert a["matches"][0]["doc_id"] == b["matches"][0]["doc_id"]
+    assert not repl_old.query("zzqx unseen " * 40)["matched"]
+
+
+def test_repl_index_honors_bucket_cap(tmp_path):
+    """Over-cap buckets are non-discriminative and skipped by the batch
+    probe; the repl must apply the same policy (it used to scan them
+    and report matched=True where the batch path says False)."""
+    from metacache_mpi_ray.config import DedupConfig
+    from metacache_mpi_ray.pipelines.incremental import (
+        ReplIndex,
+        build_index,
+        query_against_index,
+    )
+
+    cfg = DedupConfig(bucket_cap=3)
+    body = "identical boilerplate body repeated " * 20
+    corpus = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(10), type=pa.int64()),
+                    "text": pa.array([body] * 10, type=pa.string()),
+                }
+            )
+        )
+    )
+    root = str(tmp_path / "capidx")
+    build_index(corpus, cfg, root, num_partitions=2)
+    probe_doc = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([999], type=pa.int64()),
+                 "text": pa.array([body], type=pa.string())}
+            )
+        )
+    )
+    batch = query_against_index(probe_doc, root, num_partitions=2).to_pandas()
+    repl = ReplIndex(root).query(body)
+    # every band bucket holds all 10 identical docs > cap 3: both paths
+    # must agree the probe matches nothing
+    assert not batch["matched"].iloc[0]
+    assert repl["matched"] is False or repl["matched"] == False  # noqa: E712

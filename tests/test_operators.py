@@ -653,3 +653,57 @@ def test_verify_join_paths_empty_signatures():
     )
     out = verify_edges(edges, no_sigs, cfg, num_partitions=2, strategy="join")
     assert out.count() == 0 and out.schema().names == ["a", "b", "est_sim"]
+def test_bucket_all_pairs_hidden_overcap_fragment():
+    """A bucket whose TOTAL size exceeds the cap must emit no stitched
+    cross-fragment pairs even when an over-cap fragment's members never
+    shipped (size markers carry the true total — r3 review finding).
+
+    Layout: filler bucket A (7 rows) sorts before hot bucket H (20
+    rows); batch_size=12 cuts H into fragments of 5, 12, 3. The 12er is
+    over cap=10 (members unshipped); without markers the stitch saw
+    5+3=8 <= cap members and emitted 15 cross-fragment H pairs."""
+    from metacache_mpi_ray.stages.candidates import _combine_keys, bucket_all_pairs
+
+    h_ids = list(range(100, 120))
+    # the sort is on the FOLDED bkey, so order the three source keys by
+    # their folded values: filler1 < hot < filler2 in bkey order
+    probe = pa.table(
+        {"k": pa.array([1, 2, 3], type=pa.int64()),
+         "doc_id": pa.array([0, 0, 0], type=pa.int64())}
+    )
+    folded = _combine_keys(probe, ["k"], "doc_id")["bkey"].to_numpy(
+        zero_copy_only=False
+    )
+    k_filler1, k_hot, k_filler2 = [
+        int(k) for _, k in sorted(zip(folded.tolist(), [1, 2, 3]))
+    ]
+    n_f1, n_f2 = 7, 9
+    docs1 = list(range(10, 10 + n_f1))
+    docs2 = list(range(300, 300 + n_f2))
+    rows = pa.table(
+        {
+            "k": pa.array(
+                [k_filler1] * n_f1 + [k_hot] * 20 + [k_filler2] * n_f2,
+                type=pa.int64(),
+            ),
+            "doc_id": pa.array(docs1 + h_ids + docs2, type=pa.int64()),
+        }
+    )
+    pairs = (
+        bucket_all_pairs(
+            rd.from_arrow(rows), key_cols=["k"], id_col="doc_id", cap=10,
+            batch_size=12,
+        )
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+    hset = set(h_ids)
+    h_pairs = pairs[pairs["a"].isin(hset) & pairs["b"].isin(hset)]
+    # fragments of H are 5, 12, 3 rows: only the 5er and 3er are under
+    # the per-fragment cap, so in-batch pairs are C(5,2)+C(3,2)=13; the
+    # stitch must add NOTHING because H's true size 20 > cap 10
+    assert len(h_pairs) == 13, len(h_pairs)
+    # filler buckets (7 and 9 rows, under cap) emit their full pair sets
+    f1 = pairs[pairs["a"].isin(set(docs1))]
+    f2 = pairs[pairs["a"].isin(set(docs2))]
+    assert len(f1) == 21 and len(f2) == 36
