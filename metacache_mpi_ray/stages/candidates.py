@@ -46,9 +46,11 @@ def _combine_keys(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Table
     for c in key_cols:
         col = batch[c].to_numpy(zero_copy_only=False).astype(np.int64).view(U64)
         h = splitmix64(col) if h is None else mix2(h, col)
+    bk = h.view(np.int64).copy()
+    bk[bk == 0] = 1  # 0 is the bridge-row sentinel (2^-64 event)
     return pa.table(
         {
-            "bkey": pa.array(h.view(np.int64), type=pa.int64()),
+            "bkey": pa.array(bk, type=pa.int64()),
             id_col: batch[id_col],
         }
     )
@@ -233,6 +235,39 @@ def split_edges_and_bridges(emitted, edge_cols: list[str], bridge_cols: list[str
     bridge_tabs = ray.get([b for _, b in out])
     bridges = pa.concat_tables(bridge_tabs).to_pandas()
     return ray.data.from_arrow_refs([e for e, _ in out]), bridges
+
+
+@ray.remote(num_returns=2)
+def _split_flag_block(tab: pa.Table, flag_col: str, final_schema, frag_schema):
+    if len(tab) == 0 or flag_col not in tab.schema.names:
+        return final_schema.empty_table(), frag_schema.empty_table()
+    import pyarrow.compute as pc
+
+    mask = tab[flag_col]
+    return (
+        tab.filter(pc.invert(mask)).select(final_schema.names),
+        tab.filter(mask).select(frag_schema.names),
+    )
+
+
+def split_final_and_frags(emitted, flag_col: str, final_schema, frag_schema):
+    """Materialized (rows + bool flag) output -> (ref-backed final
+    Dataset, driver-side fragments DataFrame) in ONE pass of per-block
+    tasks — the boolean-flag sibling of ``split_edges_and_bridges``
+    (same rationale: the two dataset executions it replaces each paid a
+    streaming-executor startup, a fixed serial cost per execution)."""
+    refs = emitted.to_arrow_refs()
+    if not refs:
+        return (
+            ray.data.from_arrow(final_schema.empty_table()),
+            frag_schema.empty_table().to_pandas(),
+        )
+    out = [
+        _split_flag_block.remote(r, flag_col, final_schema, frag_schema)
+        for r in refs
+    ]
+    frags = pa.concat_tables(ray.get([f for _, f in out])).to_pandas()
+    return ray.data.from_arrow_refs([e for e, _ in out]), frags
 
 
 def bridge_split(want_bridge: bool, cols: list[str]):

@@ -13,11 +13,11 @@ Two layers:
    64-char substring, a shared key IS an exact long match (up to 64-bit
    hash collision, same risk class as the reference's feature hash).
 
-2. ``cluster_longest_common_substring`` — per-cluster: a suffix-array
-   (prefix-doubling, O(n log n), numpy argsort) over the concatenated
-   member texts computes the longest shared span per doc pair inside a
-   cluster via groupby(cluster).map_groups — the bounded per-group
-   refinement step.
+2. ``cluster_lcs_report`` — per-cluster exact refinement: the longest
+   common substring of each member against the cluster representative
+   via the ``lcs_len_hashed`` binary-search rolling-hash kernel,
+   dispatched as one sort + per-batch segment kernel (round-3; the
+   suffix-array machinery below remains as the cross-check oracle).
 """
 
 from __future__ import annotations
@@ -41,9 +41,15 @@ def host_of_url_arrow(col):
     strings as urls)."""
     import pyarrow.compute as pc
 
-    ex = pc.extract_regex(col, pattern=r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[^/?#]+)")
+    ex = pc.extract_regex(
+        col,
+        # authority minus userinfo and port: DNS hosts are
+        # case-insensitive and userinfo/port must not split a host into
+        # several "distinct sources" for the D4 count
+        pattern=r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?(?P<h>[^/?#:]+)",
+    )
     host = pc.struct_field(ex, "h")
-    return pc.if_else(pc.is_valid(host), host, col)
+    return pc.utf8_lower(pc.if_else(pc.is_valid(host), host, col))
 
 
 def anchor_rows(cfg: DedupConfig, *, include_host: bool = False):
@@ -91,6 +97,7 @@ def anchor_rows(cfg: DedupConfig, *, include_host: bool = False):
         keep[0] = True
         keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
         hh = (hs[keep] >> np.uint64(1)).astype(np.int64)
+        hh[hh == 0] = 1  # 0 is the bridge-row sentinel (2^-63 event)
         out = {
             "anchor_hash": pa.array(hh),
             "doc_id": pa.array(ds[keep], type=pa.int64()),
@@ -138,11 +145,18 @@ def anchor_candidates(
 
 
 def substring_dup_edges(docs, cfg: DedupConfig | None = None, **kw):
-    """Edges whose shared exact span is plausibly >= min_match_len:
-    requires >= ceil((min_match_len - anchor_len) / anchor_len) shared
-    anchors at expected sampling density (conservative lower bound)."""
+    """Edges whose shared exact span is plausibly >= min_match_len.
+
+    Anchors survive winnowing at density ~1/anchor_mod, so a truly
+    shared span of min_match_len chars yields on expectation
+    E = (min_match_len - anchor_len) / anchor_mod shared anchors; the
+    filter requires >= max(1, E // 4) — recall-safe against a 4x
+    shortfall of the sampling (P[X < E/4] is negligible for E >= 8)
+    while still rejecting pairs sharing only a few boilerplate anchors
+    when E is large. (Round-3 review: the old divisor used anchor_len,
+    which over-required anchors for sparse anchor_mod configs.)"""
     cfg = cfg or DedupConfig()
-    need = max(1, (cfg.min_match_len - cfg.anchor_len) // (cfg.anchor_len * 2))
+    need = max(1, (cfg.min_match_len - cfg.anchor_len) // (cfg.anchor_mod * 4))
     edges = anchor_candidates(docs, cfg, **kw)
     return edges.filter(expr=f"n_bands_hit >= {need}")
 
@@ -191,9 +205,11 @@ def positional_anchor_rows(cfg: DedupConfig):
         keep = np.empty(len(hs), dtype=bool)
         keep[0] = True
         keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hh = (hs[keep] >> np.uint64(1)).astype(np.int64)
+        hh[hh == 0] = 1  # 0 is the bridge-row sentinel (2^-63 event)
         return pa.table(
             {
-                "anchor_hash": pa.array((hs[keep] >> np.uint64(1)).astype(np.int64)),
+                "anchor_hash": pa.array(hh),
                 "doc_id": pa.array(ds_[keep], type=pa.int64()),
                 "pos": pa.array(ps[keep], type=pa.int64()),
             }
@@ -252,8 +268,19 @@ def _emit_bucket_pairs(pair_cap: int):
         nseg = len(starts)
         from metacache_mpi_ray.stages.candidates import segment_all_pairs
 
+        # boundary segments LARGER than the cap are excluded from
+        # in-batch emission: their per-fragment sample differs from the
+        # reassembled bucket's global sample, so emitting both would
+        # make the pair set depend on batch layout (round-3 review).
+        # The stitch re-emits them from the global min-mix sample; an
+        # over-cap bucket fully interior to a batch samples over its
+        # complete membership, which IS the global sample.
+        mask = sizes > 1
+        boundary = np.zeros(nseg, dtype=bool)
+        boundary[0] = boundary[-1] = True
+        mask &= ~(boundary & (sizes > pair_cap))
         a, b, ea, eb = segment_all_pairs(
-            ids, starts, sizes, sizes > 1, extra=pos, sample_cap=pair_cap
+            ids, starts, sizes, mask, extra=pos, sample_cap=pair_cap
         )
         d = ea - eb
         p = ea
@@ -323,8 +350,13 @@ def scored_substring_edges(
         # probability (1-1/mod)^gap ~ e^-8 — treat as a region break
         max_gap = cfg.anchor_len + 8 * cfg.anchor_mod
     rows = docs.map_batches(positional_anchor_rows(cfg), batch_format="pyarrow")
+    # coalesce before the sort: Ray's sort pays one sample task + one
+    # reduce partition per INPUT block (see pipelines/dedup.py — 5x
+    # measured on the flagship's band sort); this is also what
+    # num_partitions controls here
     emitted = (
-        rows.sort("anchor_hash")
+        rows.repartition(num_partitions)
+        .sort("anchor_hash")
         .map_batches(
             _emit_bucket_pairs(pair_cap),
             batch_format="pyarrow",
@@ -429,25 +461,23 @@ def scored_substring_edges(
         )
 
     emitted2 = (
-        pairs.sort(["a", "b", "diag", "pos_a"])
+        pairs.repartition(num_partitions)
+        .sort(["a", "b", "diag", "pos_a"])
         .map_batches(runs, batch_format="pyarrow", batch_size=pair_batch_size)
         .materialize()
     )
 
-    def keep2(want_frag: bool):
-        def f(t: pa.Table) -> pa.Table:
-            mask = t["is_frag"].to_numpy(zero_copy_only=False)
-            if not want_frag:
-                mask = ~mask
-            return t.filter(pa.array(mask)).select(["a", "b", "est_span"])
+    from metacache_mpi_ray.stages.candidates import split_final_and_frags
 
-        return f
-
-    scored_rows = emitted2.map_batches(keep2(False), batch_format="pyarrow")
-    frags = emitted2.map_batches(
-        lambda t: t.filter(t["is_frag"]).select(["a", "b", "diag", "est_span"]),
-        batch_format="pyarrow",
-    ).to_pandas()
+    scored_rows, frags = split_final_and_frags(
+        emitted2,
+        "is_frag",
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("est_span", pa.int64())]),
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("diag", pa.int64()),
+             ("est_span", pa.int64())]
+        ),
+    )
     if len(frags):
         fa, fb, fv = [], [], []
         for (ga, gb, _gd), grp in frags.groupby(["a", "b", "diag"]):
@@ -549,8 +579,7 @@ def longest_common_substring_len(a: bytes, b: bytes) -> int:
     sa = suffix_array(arr)
     lcp = lcp_array(arr, sa)
     na = len(a)
-    side = sa < na  # suffix starts in a (sentinel at index na belongs to neither)
-    side_a = sa < na
+    side_a = sa < na  # suffix starts in a (sentinel at na is neither side)
     side_b = sa > na
     best = 0
     for r in range(1, len(sa)):
@@ -670,10 +699,15 @@ def cluster_lcs_report(
         # fragment need to travel: rep + members are doc_id-minimal, and
         # a cluster has at most 2 boundary fragments + interior rows
         # already ordered, so the stitch sees a superset of its head)
+        # ship enough rows that the stitch can both CHECK min_cluster
+        # and score max_members — with min_cluster > max_members, a
+        # boundary cluster used to be skipped while the identical
+        # interior cluster was scored (round-3 review)
+        ship_cap = max(max_members, min_cluster)
         frag_sel = []
         for gi in ([0] if nseg == 1 else [0, nseg - 1]):
             s, z = starts[gi], sizes[gi]
-            frag_sel.extend(range(s, s + min(z, max_members)))
+            frag_sel.extend(range(s, s + min(z, ship_cap)))
         ftab = t.take(pa.array(frag_sel, type=pa.int64()))
         n_int = len(out_c)
         n_frag = len(frag_sel)
@@ -701,20 +735,24 @@ def cluster_lcs_report(
         kernel, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
 
-    final = emitted.map_batches(
-        lambda t: t.filter(pc.invert(t["is_frag"])).select(
-            ["cluster_id", "doc_id", "lcs_with_rep"]
+    from metacache_mpi_ray.stages.candidates import split_final_and_frags
+
+    final, frags = split_final_and_frags(
+        emitted,
+        "is_frag",
+        pa.schema(
+            [("cluster_id", pa.int64()), ("doc_id", pa.int64()),
+             ("lcs_with_rep", pa.int64())]
         ),
-        batch_format="pyarrow",
+        pa.schema(
+            [("cluster_id", pa.int64()), ("doc_id", pa.int64()),
+             ("text", pa.string())]
+        ),
     )
-    frags = emitted.map_batches(
-        lambda t: t.filter(t["is_frag"]).select(["cluster_id", "doc_id", "text"]),
-        batch_format="pyarrow",
-    ).to_pandas()
     if len(frags):
         out_c, out_d, out_l = [], [], []
         for cid, grp in frags.groupby("cluster_id"):
-            grp = grp.sort_values("doc_id").head(max_members)
+            grp = grp.sort_values("doc_id").head(max(max_members, min_cluster))
             c, d_, l_ = _lcs_rows_for_cluster(
                 cid,
                 grp["doc_id"].to_numpy(dtype=np.int64),
