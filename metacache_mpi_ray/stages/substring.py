@@ -52,15 +52,21 @@ def host_of_url_arrow(col):
     return pc.utf8_lower(pc.if_else(pc.is_valid(host), host, col))
 
 
-def anchor_rows(cfg: DedupConfig, *, include_host: bool = False):
-    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64[, host])
-    rows.
+def anchor_rows(
+    cfg: DedupConfig, *, include_host: bool = False, include_pos: bool = False
+):
+    """map_batches fn: docs -> (anchor_hash:int64, doc_id:int64
+    [, host][, pos]) rows.
 
     Fully vectorized over the batch: one shingle pass (width anchor_len)
     straight from the Arrow string buffer, winnowing-style selection
     (hash % anchor_mod == 0), then per-doc dedup via lexsort.
     ``include_host`` adds the doc's url host per row for the D4
-    ambiguity filter (boilerplate spans shared across many hosts)."""
+    ambiguity filter (boilerplate spans shared across many hosts);
+    ``include_pos`` adds each anchor's window position (one row per
+    (doc, hash) keeping its SMALLEST position) for the contiguous-run
+    scorer — one emitter for both shapes, so the kernels cannot
+    drift apart (round-3 review)."""
     from metacache_mpi_ray.functions.hashing import (
         arrow_string_buffer,
         shingle_hashes_from_buffer,
@@ -77,22 +83,37 @@ def anchor_rows(cfg: DedupConfig, *, include_host: bool = False):
                 "doc_id": pa.array([], type=pa.int64())}
         if include_host:
             cols["host"] = pa.array([], type=pa.string())
+        if include_pos:
+            cols["pos"] = pa.array([], type=pa.int64())
         empty = pa.table(cols)
         if not long_enough.any():
             return empty
         h, offsets = shingle_hashes_from_buffer(
             data, starts[long_enough], ends[long_enough], L, cfg.seed + 1
         )
+        counts = np.diff(offsets)
         row_idx = np.flatnonzero(long_enough)
-        src_row = np.repeat(row_idx, np.diff(offsets))
+        src_row = np.repeat(row_idx, counts)
         doc_of = ids[src_row]
+        pos_all = (
+            np.arange(len(h), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+            if include_pos
+            else None
+        )
         sel = h % U64(mod) == 0
         if not sel.any():
             return empty
         hs, ds, rows_sel = h[sel], doc_of[sel], src_row[sel]
-        # dedup (doc, hash) pairs: lexsort + adjacent-compare
-        order = np.lexsort((hs, ds))
+        ps = pos_all[sel] if include_pos else None
+        # dedup (doc, hash) pairs: lexsort + adjacent-compare; with
+        # positions, the smallest position per pair sorts (and stays)
+        # first
+        order = (
+            np.lexsort((ps, hs, ds)) if include_pos else np.lexsort((hs, ds))
+        )
         hs, ds, rows_sel = hs[order], ds[order], rows_sel[order]
+        if include_pos:
+            ps = ps[order]
         keep = np.empty(len(hs), dtype=bool)
         keep[0] = True
         keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
@@ -107,6 +128,8 @@ def anchor_rows(cfg: DedupConfig, *, include_host: bool = False):
             if isinstance(hosts, pa.ChunkedArray):
                 hosts = hosts.combine_chunks()
             out["host"] = hosts.take(pa.array(rows_sel[keep]))
+        if include_pos:
+            out["pos"] = pa.array(ps[keep], type=pa.int64())
         return pa.table(out)
 
     return emit
@@ -166,56 +189,12 @@ def substring_dup_edges(docs, cfg: DedupConfig | None = None, **kw):
 # ---------------------------------------------------------------------------
 
 def positional_anchor_rows(cfg: DedupConfig):
-    """docs -> (anchor_hash, doc_id, pos) rows: the winnowed anchors of
-    ``anchor_rows`` but carrying each anchor's window position, which
-    the contiguous-run scorer needs (/root/reference/src/candidates.h:
-    118-180 scores hits inside a bounded window RANGE, not hit counts).
-    One (doc_id, anchor_hash) keeps its smallest position."""
-    from metacache_mpi_ray.functions.hashing import (
-        arrow_string_buffer,
-        shingle_hashes_from_buffer,
-    )
-
-    L, mod = cfg.anchor_len, cfg.anchor_mod
-
-    def emit(batch: pa.Table) -> pa.Table:
-        data, starts, ends = arrow_string_buffer(batch["norm_text"])
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        lens = ends - starts
-        long_enough = lens >= L
-        empty = pa.table(
-            {"anchor_hash": pa.array([], type=pa.int64()),
-             "doc_id": pa.array([], type=pa.int64()),
-             "pos": pa.array([], type=pa.int64())}
-        )
-        if not long_enough.any():
-            return empty
-        h, offsets = shingle_hashes_from_buffer(
-            data, starts[long_enough], ends[long_enough], L, cfg.seed + 1
-        )
-        counts = np.diff(offsets)
-        doc_of = np.repeat(ids[long_enough], counts)
-        pos = np.arange(len(h), dtype=np.int64) - np.repeat(offsets[:-1], counts)
-        sel = h % U64(mod) == 0
-        if not sel.any():
-            return empty
-        hs, ds_, ps = h[sel], doc_of[sel], pos[sel]
-        order = np.lexsort((ps, hs, ds_))
-        hs, ds_, ps = hs[order], ds_[order], ps[order]
-        keep = np.empty(len(hs), dtype=bool)
-        keep[0] = True
-        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
-        hh = (hs[keep] >> np.uint64(1)).astype(np.int64)
-        hh[hh == 0] = 1  # 0 is the bridge-row sentinel (2^-63 event)
-        return pa.table(
-            {
-                "anchor_hash": pa.array(hh),
-                "doc_id": pa.array(ds_[keep], type=pa.int64()),
-                "pos": pa.array(ps[keep], type=pa.int64()),
-            }
-        )
-
-    return emit
+    """docs -> (anchor_hash, doc_id, pos) rows: ``anchor_rows`` with the
+    window position the contiguous-run scorer needs
+    (/root/reference/src/candidates.h:118-180 scores hits inside a
+    bounded window RANGE, not hit counts). One (doc_id, anchor_hash)
+    keeps its smallest position."""
+    return anchor_rows(cfg, include_pos=True)
 
 
 def _pairs_from_group(g_ids: np.ndarray, g_pos: np.ndarray, pair_cap: int):

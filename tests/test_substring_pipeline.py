@@ -345,3 +345,32 @@ def test_emit_bucket_pairs_bridge_rows_bounded_and_stitch_exact():
     )
     a_f, b_f, d_f, p_f = _pairs_from_group(ids, pos, cap)
     assert set(zip(a_c, b_c, d_c, p_c)) == set(zip(a_f, b_f, d_f, p_f))
+def test_cap_sampling_rule_parity():
+    """The bridge-row hot-bucket sample in _emit_bucket_pairs and the
+    sample_cap branch of segment_all_pairs must pick the SAME members
+    (the stitch-reassembly invariant rests on the two rules being
+    byte-identical)."""
+    from metacache_mpi_ray.functions.hashing import U64, splitmix64
+    from metacache_mpi_ray.stages.candidates import segment_all_pairs
+
+    rng = np.random.default_rng(5)
+    ids = rng.choice(np.arange(1, 10_000_000), size=50, replace=False).astype(
+        np.int64
+    )
+    pos = rng.integers(0, 1000, size=50).astype(np.int64)
+    cap = 16
+    # bridge-path rule (substring _emit_bucket_pairs lines ~290)
+    mix = splitmix64(ids.view(U64))
+    pick = np.argsort(mix, kind="stable")[:cap]
+    bridge_members = set(ids[pick].tolist())
+    # segment_all_pairs rule: run one over-cap segment and collect the
+    # distinct endpoints of the emitted pairs
+    a, b = segment_all_pairs(
+        ids,
+        np.zeros(1, dtype=np.int64),
+        np.array([50], dtype=np.int64),
+        np.ones(1, dtype=bool),
+        sample_cap=cap,
+    )
+    seg_members = set(a.tolist()) | set(b.tolist())
+    assert seg_members == bridge_members
