@@ -101,7 +101,13 @@ def near_dup_pipeline(
                 .materialize()
             )
         except Exception:  # fall back to assigning over sigs directly
-            pass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "doc_id projection failed; cluster assignment will map "
+                "over the full-width signature blocks",
+                exc_info=True,
+            )
 
     ids_thread = threading.Thread(target=_project_ids, daemon=True)
     ids_thread.start()
@@ -124,6 +130,7 @@ def near_dup_pipeline(
         ).materialize()
 
         def strip(t):
+            import numpy as _np
             import pyarrow as _pa
 
             return _pa.table(
@@ -131,7 +138,7 @@ def near_dup_pipeline(
                     "a": t["a"],
                     "b": t["b"],
                     "est_sim": _pa.array(
-                        [1.0] * len(t), type=_pa.float64()
+                        _np.full(len(t), 1.0), type=_pa.float64()
                     ),
                 }
             )

@@ -329,7 +329,10 @@ def verify_pairs_payload(
             {"doc_id": pa.array(ids, type=pa.int64()), "payload": bin_col}
         )
 
-    packed = table.map_batches(pack, batch_format="pyarrow")
+    # materialize ONCE: sa and sb are two independent lineages off
+    # packed, and Ray Data has no cross-branch CSE — un-materialized,
+    # the pack map (and the caller's table lineage) would execute twice
+    packed = table.map_batches(pack, batch_format="pyarrow").materialize()
     sa = packed.rename_columns({"doc_id": "a", "payload": "pay_a"})
     sb = packed.rename_columns({"doc_id": "b", "payload": "pay_b"})
     j = edges.select_columns(["a", "b"]).join(
@@ -517,6 +520,53 @@ def shingle_sets(docs, cfg: DedupConfig):
     )
 
 
+def _unpack_bin_u64(col):
+    """Packed large_binary/binary column -> (flat u64 values, row offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    boffs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = np.ascontiguousarray(data[boffs[0] : boffs[-1]]).view(np.uint64)
+    return flat, (boffs - boffs[0]) // 8
+
+
+@ray.remote(num_returns=2)
+def _assemble_set_subset(*tabs):
+    """(payload nbytes, (ids_sorted, flat, offsets)) from filtered
+    shingle-set blocks — assembled off-driver in ONE task; the second
+    return object IS the broadcast, and the driver reads only the
+    nbytes scalar for the auto broadcast-vs-join decision."""
+    ids_out, flat_out, lens_out = [], [], []
+    for t in tabs:
+        if len(t) == 0:  # empty blocks can arrive schema-less
+            continue
+        flat, offs = _unpack_bin_u64(t["shingles"])
+        ids_out.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        flat_out.append(flat)
+        lens_out.append(np.diff(offs))
+    if not ids_out:
+        return 0, (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.zeros(1, dtype=np.int64),
+        )
+    ids_all = np.concatenate(ids_out)
+    lens_all = np.concatenate(lens_out)
+    flat_all = np.concatenate(flat_out)
+    order = np.argsort(ids_all)
+    offs_all = np.concatenate([[0], np.cumsum(lens_all)]).astype(np.int64)
+    v_sorted, lens_sorted = _gather_var(flat_all, offs_all, order)
+    return int(flat_all.nbytes), (
+        ids_all[order],
+        v_sorted,
+        np.concatenate([[0], np.cumsum(lens_sorted)]).astype(np.int64),
+    )
+
+
 def verify_edges_exact_jaccard(
     edges,
     docs,
@@ -537,20 +587,12 @@ def verify_edges_exact_jaccard(
     edge batch (``_jaccard_batch``). Past the broadcast limit the packed
     sets ship through the same two-hash-join fallback as
     ``verify_pairs_payload``."""
-    sets_ds = shingle_sets(docs, cfg)
+    # one execution of the full-corpus shingle build serves every path:
+    # the subset filter, and (past the broadcast limit) both join sides
+    # (independent lineages — no CSE)
+    sets_ds = shingle_sets(docs, cfg).materialize()
     thresh = cfg.sim_threshold
-
-    def _unpack_bin(col):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
-        boffs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
-            col.offset : col.offset + n + 1
-        ].astype(np.int64)
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        flat = np.ascontiguousarray(data[boffs[0] : boffs[-1]]).view(np.uint64)
-        return flat, (boffs - boffs[0]) // 8
+    _unpack_bin = _unpack_bin_u64
 
     def _empty():
         return pa.table(
@@ -559,44 +601,28 @@ def verify_edges_exact_jaccard(
              "jaccard": pa.array([], type=pa.float64())}
         )
 
-    subset = None
+    sref = None
     if strategy in ("auto", "broadcast"):
-        wanted = _edge_doc_ids(edges)
-        wref = ray.put(wanted)
+        # off-driver subset assembly (round-3 review: the previous
+        # version streamed the whole subset through the driver heap via
+        # iter_batches and then double-buffered it with ray.put — the
+        # scale-killer pattern the MinHash path already removed): filter
+        # distributed, assemble in one task, read back only the nbytes
+        # scalar for the auto decision
+        _, wref = _edge_doc_ids_ref(edges)
         sub = sets_ds.map_batches(filter_to_ids("doc_id", wref), batch_format="pyarrow")
-        ids_out, flat_out, lens_out, nbytes, aborted = [], [], [], 0, False
-        for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            flat, offs = _unpack_bin(b["shingles"])
-            ids_out.append(b["doc_id"].to_numpy(zero_copy_only=False))
-            flat_out.append(flat)
-            lens_out.append(np.diff(offs))
-            nbytes += flat.nbytes
-            if strategy == "auto" and nbytes > broadcast_bytes_limit:
-                aborted = True
-                break
-        if not aborted:
-            if ids_out:
-                ids_all = np.concatenate(ids_out)
-                lens_all = np.concatenate(lens_out)
-                flat_all = np.concatenate(flat_out)
-                order = np.argsort(ids_all)
-                # reorder the flat pool to id-sorted set order
-                offs_all = np.concatenate([[0], np.cumsum(lens_all)]).astype(np.int64)
-                v_sorted, lens_sorted = _gather_var(flat_all, offs_all, order)
-                subset = (
-                    ids_all[order],
-                    v_sorted,
-                    np.concatenate([[0], np.cumsum(lens_sorted)]).astype(np.int64),
-                )
-            else:
-                subset = (
-                    np.empty(0, dtype=np.int64),
-                    np.empty(0, dtype=np.uint64),
-                    np.zeros(1, dtype=np.int64),
-                )
+        refs = sub.to_arrow_refs()
+        if refs:
+            nb_ref, subset_ref = _assemble_set_subset.remote(*refs)
+            if strategy == "broadcast" or int(ray.get(nb_ref)) <= broadcast_bytes_limit:
+                sref = subset_ref
+        else:
+            sref = ray.put(
+                (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
+                 np.zeros(1, dtype=np.int64))
+            )
 
-    if subset is not None:
-        sref = ray.put(subset)
+    if sref is not None:
 
         def score_b(batch: pa.Table) -> pa.Table:
             ids_s, flat, offs = ray.get(sref)
@@ -620,9 +646,10 @@ def verify_edges_exact_jaccard(
 
         return edges.map_batches(score_b, batch_format="pyarrow")
 
-    # join fallback: packed sets ride the shuffle
+    # join fallback: packed sets ride the shuffle (sets_ds is already
+    # materialized above, so both join sides read the same blocks)
     edges = _nonempty_or_none(edges)
-    if edges is None or sets_ds.limit(1).count() == 0:
+    if edges is None or sets_ds.count() == 0:
         return rd.from_arrow(_empty())
     sa = sets_ds.rename_columns({"doc_id": "a", "shingles": "set_a"})
     sb = sets_ds.rename_columns({"doc_id": "b", "shingles": "set_b"})
@@ -673,9 +700,11 @@ def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
             }
         )
 
+    # materialized once: sa/sb are independent lineages (no CSE), so an
+    # un-materialized pack map would run twice over every signature
     sigs = signatures.select_columns(["doc_id", "sig"]).map_batches(
         pack, batch_format="pyarrow"
-    )
+    ).materialize()
     sa = sigs.rename_columns({"doc_id": "a", "sigbin": "sig_a"})
     sb = sigs.rename_columns({"doc_id": "b", "sigbin": "sig_b"})
     j = edges.join(sa, join_type="inner", num_partitions=num_partitions, on=("a",))
