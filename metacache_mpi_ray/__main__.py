@@ -4,6 +4,7 @@ mode_info): a user of `metacache build|query|merge|info` drives the
 same operations here as
 
     python -m metacache_mpi_ray build  --pages DIR --index ROOT
+    python -m metacache_mpi_ray extend --pages DIR --index ROOT   (reference 'modify' mode)
     python -m metacache_mpi_ray query  --index ROOT --pages DIR --out DIR
     python -m metacache_mpi_ray dedup  --pages DIR --out DIR
     python -m metacache_mpi_ray merge  --edges DIR [--edges DIR ...] --pages DIR --out DIR
@@ -64,6 +65,34 @@ def cmd_build(args) -> int:
         docs, _cfg_from_args(args), args.index, num_partitions=args.num_partitions
     )
     print(json.dumps({"mode": "build", "index": args.index, "docs": clusters.count()}))
+    return 0
+
+
+def cmd_extend(args) -> int:
+    """The reference's ``modify`` mode: add pages to an existing index
+    (/root/reference/src/main.cpp:72-73, mode_build.cpp:1114-1137)."""
+    _ensure_ray()
+    from metacache_mpi_ray.pipelines.extend import extend_index
+
+    docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
+    # sketch params are read from the stored index; explicit overrides
+    # are only accepted as an assertion (ConfigMismatch on disagreement)
+    overrides = any(
+        getattr(args, f, None) is not None
+        for f in ("shingle_k", "n_perms", "n_bands", "bucket_cap", "sim_threshold")
+    )
+    clusters = extend_index(
+        docs,
+        args.index,
+        _cfg_from_args(args) if overrides else None,
+        num_partitions=args.num_partitions,
+        batch_id=args.batch_id,
+    )
+    print(
+        json.dumps(
+            {"mode": "extend", "index": args.index, "docs": clusters.count()}
+        )
+    )
     return 0
 
 
@@ -198,6 +227,14 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--index", required=True)
     sp.set_defaults(fn=cmd_build)
+
+    sp = sub.add_parser(
+        "extend", help="add pages to an existing index (reference 'modify' mode)"
+    )
+    common(sp)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--batch-id", default=None, dest="batch_id")
+    sp.set_defaults(fn=cmd_extend)
 
     sp = sub.add_parser("query", help="query new pages against an index")
     common(sp)

@@ -1,0 +1,388 @@
+"""Extend a persisted index with new documents — the analog of the
+reference's ``modify`` mode ("adds reference sequences to an existing
+database", /root/reference/src/mode_build.cpp:1114-1137, dispatched at
+main.cpp:72-73): the stored corpus is never re-signed, re-banded or
+re-clustered; only the new batch is sketched, its artifacts are
+APPENDED to the index, and the clusters artifact is updated by
+union-find over the CONTRACTED cluster graph (each old component is one
+node), so the cluster-update cost is bounded by the batch's duplicate
+footprint, not the corpus size.
+
+Semantics vs a full rebuild over (stored ∪ new):
+
+* the probe verifies the FULL new x stored bipartite graph per band
+  bucket plus all new x new pairs (probe_tagged_bands emit_new_new),
+  while a rebuild emits star edges per bucket — extend's candidate set
+  is a superset of the rebuild's restricted to pairs touching a new
+  doc, and both apply the same hot-bucket cap to total bucket size, so
+  extend finds every dup-pair a rebuild would and possibly more (every
+  extra pair still clears the same verification threshold). On corpora
+  without verification-failing co-bucketed pairs (e.g. the planted
+  test corpora, where co-bucketing implies near-identity) the
+  resulting cluster assignment is IDENTICAL to the rebuild's
+  (pytest-gated in tests/test_extend.py).
+* a bucket whose stored fragment was under the cap in the original
+  build but whose union size exceeds it stops yielding NEW pairs
+  (hot-feature removal on the union total, like the reference marking
+  features overpopulated as sequences are added), but edges already
+  verified in earlier builds are kept — the reference's modify mode
+  likewise only un-indexes the feature going forward.
+
+Crash safety: all new artifacts are staged under
+``<root>/extend.__tmp__/`` and installed by a roll-forward commit
+journal (``extend.commit.json``) of individually idempotent renames;
+a crash leaves either no visible change or a journal that the next
+``extend_index`` call completes before doing new work. Every finished
+extension appends a lineage record to ``extends.json``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.pipelines.incremental import (
+    _band_keys,
+    _read_stage,
+    load_index_config,
+    probe_tagged_bands,
+)
+from metacache_mpi_ray.stages.signatures import compute_signatures
+from metacache_mpi_ray.stages.verify import (
+    filter_to_ids,
+    lookup_sorted,
+    verify_edges,
+)
+from metacache_mpi_ray.state.checkpoint import ConfigMismatch
+from metacache_mpi_ray.state.unionfind import connected_components_arrays
+
+
+@ray.remote
+def _endpoint_ids(*tabs):
+    """Sorted unique endpoint ids over (a, b) edge blocks, one task."""
+    parts = []
+    for t in tabs:
+        if len(t):
+            parts.append(t["a"].to_numpy(zero_copy_only=False))
+            parts.append(t["b"].to_numpy(zero_copy_only=False))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
+@ray.remote
+def _stored_lookup(*tabs):
+    """(doc_id_sorted, cluster_id) arrays over clusters-pick blocks."""
+    ks, vs = [], []
+    for t in tabs:
+        if len(t):
+            ks.append(t["doc_id"].to_numpy(zero_copy_only=False))
+            vs.append(t["cluster_id"].to_numpy(zero_copy_only=False))
+    if not ks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    k = np.concatenate(ks).astype(np.int64)
+    v = np.concatenate(vs).astype(np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+def _contract_ids(ids_s, cl, x):
+    """Stored endpoints -> their old cluster id; new endpoints stay."""
+    if len(ids_s) == 0:
+        return x
+    pos, found = lookup_sorted(ids_s, x)
+    return np.where(found, cl[pos], x)
+
+
+@ray.remote(num_returns=2)
+def _contract_forest_task(lookup_ref, tab):
+    """One verified-edge block -> the spanning forest of its CONTRACTED
+    graph (stored endpoints replaced by their old cluster id), in
+    parallel per block — the flagship's two-level components pattern
+    (stages/cluster.py:_forest_task), so the serial merge below sees
+    ~#distinct nodes per block, never the raw edge count."""
+    ids_s, cl = lookup_ref
+    if len(tab) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    a = _contract_ids(ids_s, cl, tab["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+    b = _contract_ids(ids_s, cl, tab["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    nodes, labels = connected_components_arrays(a, b)
+    m = labels != nodes
+    return nodes[m], labels[m]
+
+
+@ray.remote
+def _merge_forests(lookup_ref, *parts):
+    """Serial merge over the per-block contracted forests.
+
+    Component labels are the min doc_id over each MERGED component —
+    exactly what assign_clusters would produce over the union corpus,
+    because each old cluster id is itself the min doc_id of its old
+    component. Returns (nodes_sorted, labels, stored_endpoints_sorted)."""
+    ids_s, _ = lookup_ref
+    a = [x for x in parts[0::2] if len(x)]
+    b = [x for x in parts[1::2] if len(x)]
+    if not a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, ids_s
+    nodes, labels = connected_components_arrays(
+        np.concatenate(a), np.concatenate(b)
+    )
+    return nodes, labels, ids_s
+
+
+def _install_files(root: str, journal_path: str) -> None:
+    """Roll the commit journal forward: each move is an os.replace made
+    idempotent (skip when the source is gone and the target exists)."""
+    with open(journal_path) as f:
+        journal = json.load(f)
+    for src, dst in journal["moves"]:
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        elif not os.path.exists(dst):
+            raise RuntimeError(
+                f"interrupted extend at {root}: journaled move lost both "
+                f"sides ({src} -> {dst}); rebuild the index"
+            )
+    # the clusters swap: new full table replaces the old one
+    tmp_clusters = journal["clusters_tmp"]
+    if os.path.exists(tmp_clusters):
+        final = os.path.join(root, "clusters")
+        old = os.path.join(root, "clusters.__old__")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.replace(final, old)
+        os.replace(tmp_clusters, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    lineage = json.loads(journal["lineage"])
+    extends_path = os.path.join(root, "extends.json")
+    records = []
+    if os.path.exists(extends_path):
+        with open(extends_path) as f:
+            records = json.load(f)
+    if not any(r["batch_id"] == lineage["batch_id"] for r in records):
+        records.append(lineage)
+        with open(extends_path + ".tmp", "w") as f:
+            json.dump(records, f, indent=1)
+        os.replace(extends_path + ".tmp", extends_path)
+    os.remove(journal_path)
+    staging = journal["staging"]
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
+def resume_pending_extend(ckpt_root: str) -> bool:
+    """Complete an interrupted extend commit, if any. Returns True when
+    a pending journal was rolled forward."""
+    journal_path = os.path.join(ckpt_root, "extend.commit.json")
+    if os.path.exists(journal_path):
+        _install_files(ckpt_root, journal_path)
+        return True
+    return False
+
+
+def extend_index(
+    new_docs,
+    ckpt_root: str,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int = 16,
+    batch_id: str | None = None,
+):
+    """Add ``new_docs`` (canonical docs: doc_id, text, ...) to the
+    persisted index at ``ckpt_root`` and return the UPDATED clusters
+    dataset (doc_id, cluster_id, is_dup over the whole corpus).
+
+    Precondition: new doc_ids are distinct from stored ones (ids are
+    content-keyed at ingest; re-submitting an already-indexed page is
+    the caller's dedup-by-key problem, as in the reference where the
+    same target added twice simply occurs twice)."""
+    stored_cfg = load_index_config(ckpt_root)
+    if cfg is not None and cfg != stored_cfg:
+        raise ConfigMismatch(
+            f"index at {ckpt_root} was built with a different DedupConfig; "
+            "signatures are not comparable across configs"
+        )
+    cfg = stored_cfg
+    resume_pending_extend(ckpt_root)
+
+    if batch_id is None:
+        extends_path = os.path.join(ckpt_root, "extends.json")
+        prior = []
+        if os.path.exists(extends_path):
+            with open(extends_path) as f:
+                prior = json.load(f)
+        batch_id = f"b{len(prior) + 1:04d}"
+    if glob.glob(os.path.join(ckpt_root, "signatures", f"extend-{batch_id}-*")):
+        raise ConfigMismatch(
+            f"batch_id {batch_id!r} was already installed at {ckpt_root}; "
+            "pass a fresh batch_id"
+        )
+    staging = os.path.join(ckpt_root, "extend.__tmp__")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+    # 1. sign + band ONLY the new batch; stage the artifacts
+    sigs_new = (
+        compute_signatures(new_docs, cfg, batch_size=128)
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if sigs_new.count() == 0:
+        return _read_stage(ckpt_root, "clusters")
+    sigs_new.write_parquet(os.path.join(staging, "signatures"))
+    bands_new = _band_keys(sigs_new, cfg, "doc_id").materialize()
+    bands_new.write_parquet(os.path.join(staging, "bands"))
+
+    # 2. probe stored+new band buckets for every candidate pair that
+    # touches a new doc (new x stored AND new x new)
+    sigs_idx = _read_stage(ckpt_root, "signatures", columns=["doc_id", "sig"])
+    try:
+        bands_idx = _read_stage(ckpt_root, "bands").rename_columns(
+            {"doc_id": "idx_id"}
+        )
+    except FileNotFoundError:
+        bands_idx = _band_keys(sigs_idx, cfg, "idx_id")
+
+    def tag(side: int, id_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bkey": t["bkey"],
+                    "id": t[id_col].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(t), side, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    tagged = bands_idx.map_batches(tag(0, "idx_id"), batch_format="pyarrow").union(
+        bands_new.map_batches(tag(1, "doc_id"), batch_format="pyarrow")
+    )
+    pairs = probe_tagged_bands(
+        tagged,
+        cfg.bucket_cap,
+        num_partitions=num_partitions,
+        emit_new_new=True,
+    )
+
+    # 3. verify against the union signature table
+    sigs_all = sigs_new.select_columns(["doc_id", "sig"]).union(sigs_idx)
+    verified = verify_edges(
+        pairs, sigs_all, cfg, num_partitions=num_partitions
+    ).materialize()
+    verified.write_parquet(os.path.join(staging, "verified"))
+
+    # 4. contract: endpoints found in the stored clusters artifact map
+    # to their old cluster id; everything stays off-driver (refs only)
+    v_refs = verified.to_arrow_refs() or []
+    eref = _endpoint_ids.remote(*v_refs)
+    clusters_idx = _read_stage(
+        ckpt_root, "clusters", columns=["doc_id", "cluster_id"]
+    )
+    pick = clusters_idx.map_batches(
+        filter_to_ids("doc_id", eref), batch_format="pyarrow"
+    )
+    lref = _stored_lookup.remote(*(pick.to_arrow_refs() or []))
+    forests = [_contract_forest_task.remote(lref, r) for r in v_refs]
+    nodes, labels, stored_eps = ray.get(
+        _merge_forests.remote(lref, *[r for pair in forests for r in pair])
+    )
+    bref = ray.put((nodes, labels, stored_eps))
+
+    # 5. rewrite clusters: old rows remapped through the touched-cluster
+    # map; new rows assigned from the contracted labels. Broadcast size
+    # is bounded by the batch's duplicate footprint (touched clusters +
+    # matched new docs), never the corpus.
+    def remap_old(t: pa.Table) -> pa.Table:
+        nds, labs, eps = ray.get(bref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["is_dup"].to_numpy(zero_copy_only=False).astype(bool)
+        if len(nds):
+            pos, found = lookup_sorted(nds, cl)
+            cl = np.where(found, labs[pos], cl)
+        if len(eps):
+            _, hit = lookup_sorted(eps, ids)
+            dup = dup | hit
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cl, type=pa.int64()),
+                "is_dup": pa.array(dup, type=pa.bool_()),
+            }
+        )
+
+    def assign_new(t: pa.Table) -> pa.Table:
+        nds, labs, _ = ray.get(bref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nds):
+            pos, found = lookup_sorted(nds, ids)
+            cl = np.where(found, labs[pos], ids)
+        else:
+            found = np.zeros(len(ids), dtype=bool)
+            cl = ids
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cl.astype(np.int64), type=pa.int64()),
+                "is_dup": pa.array(found, type=pa.bool_()),
+            }
+        )
+
+    clusters_full = _read_stage(ckpt_root, "clusters")
+    updated = clusters_full.map_batches(remap_old, batch_format="pyarrow").union(
+        sigs_new.select_columns(["doc_id"]).map_batches(
+            assign_new, batch_format="pyarrow"
+        )
+    )
+    clusters_tmp = os.path.join(staging, "clusters")
+    updated.write_parquet(clusters_tmp)
+
+    # 6. commit: journal the renames, then roll forward
+    moves = []
+    for stage in ("signatures", "bands", "verified"):
+        sdir = os.path.join(staging, stage)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(sdir, "*.parquet")))):
+            moves.append(
+                [f, os.path.join(ckpt_root, stage, f"extend-{batch_id}-{i}.parquet")]
+            )
+    lineage = {
+        "batch_id": batch_id,
+        "n_new": sigs_new.count(),
+        "n_new_edges": verified.count(),
+        "n_touched_clusters": int(len(np.unique(stored_eps))),
+    }
+    journal = {
+        "staging": staging,
+        "moves": moves,
+        "clusters_tmp": clusters_tmp,
+        "lineage": json.dumps(lineage),
+    }
+    journal_path = os.path.join(ckpt_root, "extend.commit.json")
+    with open(journal_path + ".tmp", "w") as f:
+        json.dump(journal, f, indent=1)
+    os.replace(journal_path + ".tmp", journal_path)
+    _install_files(ckpt_root, journal_path)
+    return rd.read_parquet(
+        sorted(
+            glob.glob(
+                os.path.join(ckpt_root, "clusters", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+    )

@@ -38,6 +38,7 @@ from metacache_mpi_ray.functions.blocks import ensure_columns
 from metacache_mpi_ray.stages.banding import compute_bands
 from metacache_mpi_ray.stages.candidates import (
     _combine_keys,
+    segment_all_pairs,
     split_edges_and_bridges,
     bucket_edges,
     dedupe_edges,
@@ -320,6 +321,7 @@ def probe_tagged_bands(
     *,
     probe_batch_size: int | None = None,
     num_partitions: int | None = None,
+    emit_new_new: bool = False,
 ):
     """(bkey, id, side) rows -> (new x stored) candidate pairs (a=new,
     b=stored) per band bucket: ONE ``sort("bkey")`` range shuffle, a
@@ -334,7 +336,14 @@ def probe_tagged_bands(
     necessarily one of those, so a tiny driver pass reassembles split
     buckets and emits their full new x stored cross product (duplicates
     of in-fragment pairs are fine — verification is idempotent and the
-    downstream aggregate is a min)."""
+    downstream aggregate is a min).
+
+    ``emit_new_new``: additionally emit all (new x new) pairs per
+    surviving bucket — required by ``extend_index`` (the reference's
+    ``modify`` mode), where the new batch must also dedup against
+    itself; ``query_against_index`` keeps it off (queries never join
+    each other). Columns stay (a, b); for new x new pairs both sides
+    are new ids with a < b."""
 
     def probe(t: pa.Table) -> pa.Table:
         keys = t["bkey"].to_numpy(zero_copy_only=False)
@@ -380,6 +389,17 @@ def probe_tagged_bands(
         else:
             a = np.empty(0, dtype=np.int64)
             b = np.empty(0, dtype=np.int64)
+        if emit_new_new:
+            # all (new x new) pairs of surviving buckets: the new rows
+            # of a bucket are its contiguous tail (stored sort first),
+            # so reuse the flagship's equal-size-grouped pair kernel
+            nn = (n_new_per >= 2) & (sizes <= cap)
+            if nn.any():
+                na, nb = segment_all_pairs(
+                    ids, starts + sizes - n_new_per, n_new_per, nn
+                )
+                a = np.concatenate([a, na])
+                b = np.concatenate([b, nb])
         # bridge rows: every member of the batch's first and last bucket
         # (potential split fragments), side riding in column b. EVERY
         # boundary fragment also ships one size MARKER row (b = -1,
@@ -444,6 +464,13 @@ def probe_tagged_bands(
             if len(new) and len(stored):
                 extra_a.append(np.repeat(new, len(stored)))
                 extra_b.append(np.tile(stored, len(new)))
+            if emit_new_new and len(new) >= 2:
+                i, j = np.triu_indices(len(new), 1)
+                lo = np.minimum(new[i], new[j])
+                hi = np.maximum(new[i], new[j])
+                keep = lo != hi
+                extra_a.append(lo[keep])
+                extra_b.append(hi[keep])
         if extra_a:
             extra = pa.table(
                 {

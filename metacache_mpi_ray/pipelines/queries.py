@@ -497,6 +497,65 @@ def q_query_vs_index(sf_dir: str):
     return query_against_index(b_docs, root, CFG, num_partitions=8)
 
 
+def q_extend_index_planted(sf_dir: str):
+    """The reference's ``modify`` mode (add documents to an existing
+    database, /root/reference/src/mode_build.cpp:1114-1137): build the
+    persisted index over the planted ORIGINALS, then extend_index with
+    the planted COPIES — the updated clusters must equal the one-shot
+    clustering of the full planted corpus, so it shares
+    minhash_clusters_planted's SQL oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from metacache_mpi_ray.pipelines.extend import extend_index
+    from metacache_mpi_ray.pipelines.incremental import build_index
+
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build_orig(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.char.multiply(
+            np.char.add(np.char.add("tok", ids.astype("U")), " "), 40
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "text": pa.array(txt, type=pa.string())}
+        )
+
+    def build_copies(t: pa.Table) -> pa.Table:
+        src = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = src[src % 5 == 0]
+        txt = np.char.multiply(
+            np.char.add(np.char.add("tok", src.astype("U")), " "), 40
+        )
+        return pa.table(
+            {"doc_id": pa.array(src + PLANT_OFF, type=pa.int64()),
+             "text": pa.array(txt, type=pa.string())}
+        )
+
+    # pristine-index cache (content-fingerprinted like q_query_vs_index);
+    # each call extends a fresh COPY — extending the cached original
+    # twice would double-install the batch
+    src = f"{sf_dir}/documents.parquet"
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{sf_dir}|{n_rows}|{st.st_mtime_ns}|{st.st_size}|{CFG.to_json()}|extidx-v1".encode()
+    ).hexdigest()[:12]
+    root = f"/tmp/metacache_extidx_{key}"
+    a_docs = ingest_documents(ids_ds.map_batches(build_orig, batch_format="pyarrow"))
+    build_index(a_docs, CFG, root, num_partitions=8)
+    work = os.path.join(tempfile.mkdtemp(prefix="metacache_ext_"), "idx")
+    shutil.copytree(root, work)
+    b_docs = ingest_documents(
+        ids_ds.map_batches(build_copies, batch_format="pyarrow")
+    )
+    return extend_index(b_docs, work, CFG, num_partitions=8)
+
+
 def q_minhash_clusters_planted(sf_dir: str):
     """Flagship pipeline over the planted corpus — the full MinHash ->
     LSH -> verify -> cluster machinery, with a SQL oracle (planted
@@ -1314,6 +1373,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_clusters_planted": q_minhash_clusters_planted,
     "query_vs_index": q_query_vs_index,
+    "extend_index_planted": q_extend_index_planted,
     "dedup_eval_planted": q_dedup_eval_planted,
     "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
     "rank_merge_planted": q_rank_merge_planted,
@@ -1580,6 +1640,17 @@ ORACLE_SQL = {
     # planted-corpus window oracle: text equality is the exact duplicate
     # relation of the planted corpus (see _planted_token_corpus)
     "minhash_clusters_planted": (
+        "WITH corpus AS ("
+        "  SELECT doc_id, doc_id AS src FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000000 AS doc_id, doc_id AS src"
+        "  FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY src) AS cluster_id, "
+        "count(*) OVER (PARTITION BY src) > 1 AS is_dup FROM corpus"
+    ),
+    # extend(originals-index, copies) must reproduce the one-shot
+    # clustering of the full planted corpus — the identical oracle
+    "extend_index_planted": (
         "WITH corpus AS ("
         "  SELECT doc_id, doc_id AS src FROM documents"
         "  UNION ALL"

@@ -59,6 +59,45 @@ def test_cli_build_query_info_dedup_merge(tmp_path, corpus_dir, capsys):
     assert (m["cluster_id"].values == dd["cluster_id"].values).all()
 
 
+def test_cli_extend(tmp_path, corpus_dir, capsys):
+    """Extend mode (the reference's 'modify' mode): add a disjoint page
+    batch to an existing index; the clusters artifact then covers both."""
+    from metacache_mpi_ray.__main__ import main
+    from metacache_mpi_ray.sources.pages import write_pages_corpus
+
+    idx = str(tmp_path / "index")
+    pages = f"{corpus_dir}/pages"
+    batch_dir = write_pages_corpus(str(tmp_path / "batch"), 100, seed=777)
+
+    assert main(["build", "--pages", pages, "--index", idx, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+    assert (
+        main(
+            ["extend", "--pages", f"{batch_dir}/pages", "--index", idx,
+             "--num-partitions", "4"]
+        )
+        == 0
+    )
+    ext = json.loads(capsys.readouterr().out.strip())
+    assert ext["docs"] == 600
+
+    assert main(["info", "--index", idx]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["rows_clusters"] == 600
+    assert info["rows_signatures"] == 600
+
+    # a config override that disagrees with the stored index refuses
+    import pytest
+
+    from metacache_mpi_ray.state.checkpoint import ConfigMismatch
+
+    with pytest.raises(ConfigMismatch):
+        main(
+            ["extend", "--pages", f"{batch_dir}/pages", "--index", idx,
+             "--n-bands", "16"]
+        )
+
+
 def test_cli_annotate_and_pipeline(tmp_path, corpus_dir, capsys):
     """Annotate mode (M7 analog): mapping lookup + header rewrite, with
     unmapped keys kept as 'NA' like the reference's miss handling."""

@@ -1,0 +1,197 @@
+"""extend_index — the reference's ``modify`` mode (add documents to an
+existing database, /root/reference/src/mode_build.cpp:1114-1137).
+
+The contract: build(A) then extend(B) produces the SAME cluster
+partition as build(A ∪ B) on corpora where co-bucketing implies
+near-identity (the planted token corpus — no verification-failing
+candidate pairs, no over-cap buckets), including exact cluster_id
+labels (min doc_id of the merged component) and is_dup flags.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from metacache_mpi_ray.config import DedupConfig
+from metacache_mpi_ray.pipelines.extend import (
+    extend_index,
+    resume_pending_extend,
+)
+from metacache_mpi_ray.pipelines.incremental import (
+    build_index,
+    query_against_index,
+)
+from metacache_mpi_ray.stages.ingest import ingest_documents
+from metacache_mpi_ray.state.checkpoint import ConfigMismatch
+
+CFG = DedupConfig()
+
+
+def _token_docs(ids: np.ndarray, src_ids: np.ndarray | None = None):
+    """doc i carries text 'tok<s> ' * 40 where s = src_ids[i] (defaults
+    to i): distinct tokens share no 16-char shingles, equal tokens are
+    exact duplicates — the SQL-reproducible planted relation."""
+    src = src_ids if src_ids is not None else ids
+    txt = np.char.multiply(np.char.add(np.char.add("tok", src.astype("U")), " "), 40)
+    return ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(txt, type=pa.string()),
+                }
+            )
+        )
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "cluster_id", "is_dup"]
+    ]
+
+
+@pytest.fixture()
+def built_a(tmp_path):
+    """Index over A = docs 0..99, where 3k and 3k+1 are duplicates
+    (text of 3k), plus singletons."""
+    ids = np.arange(100, dtype=np.int64)
+    src = ids.copy()
+    src[ids % 3 == 1] -= 1  # 3k+1 duplicates 3k
+    root = str(tmp_path / "idx")
+    docs = _token_docs(ids, src)
+    build_index(docs, CFG, root, num_partitions=4)
+    return root, ids, src
+
+
+def _b_batch():
+    """B: copies of stored docs 0, 3, 30 (merging into A clusters),
+    one PAIR of new docs duplicating each other (both 'tokNN'), and
+    fresh singletons."""
+    b_ids = np.array([1000, 1003, 1030, 2000, 2001, 3000, 3001], dtype=np.int64)
+    b_src = np.array([0, 3, 30, 777777, 777777, 888001, 999002], dtype=np.int64)
+    return b_ids, b_src
+
+
+def test_extend_matches_full_rebuild(built_a, tmp_path):
+    root, a_ids, a_src = built_a
+    b_ids, b_src = _b_batch()
+    extended = extend_index(_token_docs(b_ids, b_src), root, CFG, num_partitions=4)
+    got = _canon(extended.to_pandas())
+
+    # the oracle: one build over A ∪ B
+    u_ids = np.concatenate([a_ids, b_ids])
+    u_src = np.concatenate([a_src, b_src])
+    root2 = str(tmp_path / "rebuild")
+    want = _canon(
+        build_index(_token_docs(u_ids, u_src), CFG, root2, num_partitions=4)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # spot meaning: 1000 joined doc 0's cluster (min id 0); 2000/2001
+    # cluster together at min 2000; 3000/3001 stay singletons
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1000, "cluster_id"] == 0
+    assert by_id.loc[1003, "cluster_id"] == 3
+    assert by_id.loc[2001, "cluster_id"] == 2000
+    assert bool(by_id.loc[2000, "is_dup"]) and bool(by_id.loc[2001, "is_dup"])
+    assert not by_id.loc[3000, "is_dup"] and by_id.loc[3000, "cluster_id"] == 3000
+    # stored singleton 30 became a dup through the new copy
+    assert bool(by_id.loc[30, "is_dup"]) and by_id.loc[30, "cluster_id"] == 30
+
+
+def test_extend_chains_and_queries_see_new_docs(built_a):
+    root, _, _ = built_a
+    b_ids, b_src = _b_batch()
+    extend_index(_token_docs(b_ids, b_src), root, CFG, num_partitions=4)
+    # second batch: a copy of a FIRST-EXTEND doc (2000's text) must
+    # resolve into the 2000-cluster — proves batch-1 artifacts are live
+    c_ids = np.array([5000], dtype=np.int64)
+    c_src = np.array([777777], dtype=np.int64)
+    ext2 = extend_index(_token_docs(c_ids, c_src), root, CFG, num_partitions=4)
+    by_id = _canon(ext2.to_pandas()).set_index("doc_id")
+    assert by_id.loc[5000, "cluster_id"] == 2000
+    assert len(by_id) == 100 + 7 + 1
+    # lineage records both extensions
+    with open(os.path.join(root, "extends.json")) as f:
+        recs = json.load(f)
+    assert [r["batch_id"] for r in recs] == ["b0001", "b0002"]
+    assert recs[0]["n_new"] == 7 and recs[1]["n_new"] == 1
+    # the incremental QUERY path probes the extended index too
+    q = query_against_index(
+        _token_docs(np.array([9000], dtype=np.int64),
+                    np.array([777777], dtype=np.int64)),
+        root,
+        num_partitions=4,
+    ).to_pandas()
+    assert bool(q.loc[0, "matched"]) and q.loc[0, "matched_cluster_id"] == 2000
+
+
+def test_extend_config_guard_and_batch_id_guard(built_a):
+    root, _, _ = built_a
+    other = DedupConfig(n_perms=CFG.n_perms, n_bands=CFG.n_bands // 2)
+    with pytest.raises(ConfigMismatch):
+        extend_index(_token_docs(np.array([1, 2])), root, other)
+    b_ids, b_src = _b_batch()
+    extend_index(
+        _token_docs(b_ids, b_src), root, CFG, num_partitions=4, batch_id="x1"
+    )
+    with pytest.raises(ConfigMismatch):
+        extend_index(
+            _token_docs(b_ids + 50_000, b_src), root, CFG,
+            num_partitions=4, batch_id="x1",
+        )
+
+
+def test_interrupted_commit_rolls_forward(built_a, monkeypatch):
+    """A crash between journal write and installation must be healed by
+    the next call, producing the same final state."""
+    import metacache_mpi_ray.pipelines.extend as ext_mod
+
+    root, a_ids, a_src = built_a
+    b_ids, b_src = _b_batch()
+
+    real_install = ext_mod._install_files
+    calls = {"n": 0}
+
+    def crash_once(r, j):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before install")
+        return real_install(r, j)
+
+    monkeypatch.setattr(ext_mod, "_install_files", crash_once)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        extend_index(_token_docs(b_ids, b_src), root, CFG, num_partitions=4)
+    # journal exists, nothing installed into signatures/ yet
+    assert os.path.exists(os.path.join(root, "extend.commit.json"))
+    monkeypatch.setattr(ext_mod, "_install_files", real_install)
+    assert resume_pending_extend(root)
+    assert not os.path.exists(os.path.join(root, "extend.commit.json"))
+    # rolled-forward state == a clean extend's state
+    got = _canon(
+        rd.read_parquet(os.path.join(root, "clusters")).to_pandas()
+    )
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1000, "cluster_id"] == 0
+    assert by_id.loc[2001, "cluster_id"] == 2000
+    assert len(got) == 107
+    with open(os.path.join(root, "extends.json")) as f:
+        assert json.load(f)[0]["n_new"] == 7
+
+
+def test_extend_empty_batch_is_noop(built_a):
+    root, a_ids, _ = built_a
+    before = _canon(
+        rd.read_parquet(os.path.join(root, "clusters")).to_pandas()
+    )
+    out = extend_index(
+        _token_docs(np.array([], dtype=np.int64)), root, CFG, num_partitions=4
+    )
+    pd.testing.assert_frame_equal(_canon(out.to_pandas()), before)
+    assert not os.path.exists(os.path.join(root, "extends.json"))
