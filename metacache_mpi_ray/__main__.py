@@ -74,17 +74,25 @@ def cmd_extend(args) -> int:
     _ensure_ray()
     from metacache_mpi_ray.pipelines.extend import extend_index
 
+    from metacache_mpi_ray.pipelines.incremental import load_index_config
+    from metacache_mpi_ray.state.checkpoint import ConfigMismatch
+
     docs = _read_pages(args.pages, canonicalize_urls=args.canonicalize_urls)
-    # sketch params are read from the stored index; explicit overrides
-    # are only accepted as an assertion (ConfigMismatch on disagreement)
-    overrides = any(
-        getattr(args, f, None) is not None
-        for f in ("shingle_k", "n_perms", "n_bands", "bucket_cap", "sim_threshold")
-    )
+    # sketch params are read from the stored index; an explicitly-passed
+    # flag is an assertion about THAT field only (building a full config
+    # from one flag would reset the others to defaults and spuriously
+    # mismatch an index built with several non-default params)
+    stored = load_index_config(args.index)
+    for f in ("shingle_k", "n_perms", "n_bands", "bucket_cap", "sim_threshold"):
+        v = getattr(args, f, None)
+        if v is not None and v != getattr(stored, f):
+            raise ConfigMismatch(
+                f"--{f.replace('_', '-')}={v} does not match the stored "
+                f"index's {f}={getattr(stored, f)}"
+            )
     clusters = extend_index(
         docs,
         args.index,
-        _cfg_from_args(args) if overrides else None,
         num_partitions=args.num_partitions,
         batch_id=args.batch_id,
     )

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import os
 import shutil
 
@@ -47,10 +48,10 @@ import numpy as np
 import pyarrow as pa
 
 import ray
-import ray.data as rd
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.pipelines.incremental import (
+    _assemble_sorted_pairs,
     _band_keys,
     _read_stage,
     load_index_config,
@@ -62,7 +63,11 @@ from metacache_mpi_ray.stages.verify import (
     lookup_sorted,
     verify_edges,
 )
-from metacache_mpi_ray.state.checkpoint import ConfigMismatch
+from metacache_mpi_ray.state.checkpoint import (
+    ConfigMismatch,
+    _checkpoint_install_files,
+    resume_pending_commit,
+)
 from metacache_mpi_ray.state.unionfind import connected_components_arrays
 
 
@@ -77,22 +82,6 @@ def _endpoint_ids(*tabs):
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(parts).astype(np.int64))
-
-
-@ray.remote
-def _stored_lookup(*tabs):
-    """(doc_id_sorted, cluster_id) arrays over clusters-pick blocks."""
-    ks, vs = [], []
-    for t in tabs:
-        if len(t):
-            ks.append(t["doc_id"].to_numpy(zero_copy_only=False))
-            vs.append(t["cluster_id"].to_numpy(zero_copy_only=False))
-    if not ks:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    k = np.concatenate(ks).astype(np.int64)
-    v = np.concatenate(vs).astype(np.int64)
-    order = np.argsort(k)
-    return k[order], v[order]
 
 
 def _contract_ids(ids_s, cl, x):
@@ -127,70 +116,26 @@ def _merge_forests(lookup_ref, *parts):
     Component labels are the min doc_id over each MERGED component —
     exactly what assign_clusters would produce over the union corpus,
     because each old cluster id is itself the min doc_id of its old
-    component. Returns (nodes_sorted, labels, stored_endpoints_sorted)."""
-    ids_s, _ = lookup_ref
+    component. Returns (nodes_sorted, labels, stored_endpoints_sorted,
+    n_touched_clusters)."""
+    ids_s, cl = lookup_ref
+    n_touched = int(len(np.unique(cl)))
     a = [x for x in parts[0::2] if len(x)]
     b = [x for x in parts[1::2] if len(x)]
     if not a:
         z = np.empty(0, dtype=np.int64)
-        return z, z, ids_s
+        return z, z, ids_s, n_touched
     nodes, labels = connected_components_arrays(
         np.concatenate(a), np.concatenate(b)
     )
-    return nodes, labels, ids_s
+    return nodes, labels, ids_s, n_touched
 
 
-def _install_files(root: str, journal_path: str) -> None:
-    """Roll the commit journal forward: each move is an os.replace made
-    idempotent (skip when the source is gone and the target exists)."""
-    with open(journal_path) as f:
-        journal = json.load(f)
-    for src, dst in journal["moves"]:
-        if os.path.exists(src):
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-        elif not os.path.exists(dst):
-            raise RuntimeError(
-                f"interrupted extend at {root}: journaled move lost both "
-                f"sides ({src} -> {dst}); rebuild the index"
-            )
-    # the clusters swap: new full table replaces the old one
-    tmp_clusters = journal["clusters_tmp"]
-    if os.path.exists(tmp_clusters):
-        final = os.path.join(root, "clusters")
-        old = os.path.join(root, "clusters.__old__")
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(final):
-            os.replace(final, old)
-        os.replace(tmp_clusters, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-    lineage = json.loads(journal["lineage"])
-    extends_path = os.path.join(root, "extends.json")
-    records = []
-    if os.path.exists(extends_path):
-        with open(extends_path) as f:
-            records = json.load(f)
-    if not any(r["batch_id"] == lineage["batch_id"] for r in records):
-        records.append(lineage)
-        with open(extends_path + ".tmp", "w") as f:
-            json.dump(records, f, indent=1)
-        os.replace(extends_path + ".tmp", extends_path)
-    os.remove(journal_path)
-    staging = journal["staging"]
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-
-
-def resume_pending_extend(ckpt_root: str) -> bool:
-    """Complete an interrupted extend commit, if any. Returns True when
-    a pending journal was rolled forward."""
-    journal_path = os.path.join(ckpt_root, "extend.commit.json")
-    if os.path.exists(journal_path):
-        _install_files(ckpt_root, journal_path)
-        return True
-    return False
+# journal roll-forward lives in state/checkpoint.py so every index
+# READER (query_against_index, ReplIndex, info) heals a torn commit
+# before consuming the artifacts, without a pipelines-level import cycle
+_install_files = _checkpoint_install_files
+resume_pending_extend = resume_pending_commit
 
 
 def extend_index(
@@ -225,6 +170,11 @@ def extend_index(
             with open(extends_path) as f:
                 prior = json.load(f)
         batch_id = f"b{len(prior) + 1:04d}"
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+        raise ValueError(
+            f"batch_id {batch_id!r} must match [A-Za-z0-9_.-]+ (it names "
+            "artifact files and the already-installed guard globs on it)"
+        )
     if glob.glob(os.path.join(ckpt_root, "signatures", f"extend-{batch_id}-*")):
         raise ConfigMismatch(
             f"batch_id {batch_id!r} was already installed at {ckpt_root}; "
@@ -254,7 +204,15 @@ def extend_index(
             {"doc_id": "idx_id"}
         )
     except FileNotFoundError:
-        bands_idx = _band_keys(sigs_idx, cfg, "idx_id")
+        # legacy index without a persisted band table (e.g. written by
+        # run_dedup_checkpointed): derive the stored bands once and
+        # STAGE them alongside the new batch's — installing only the
+        # batch's bands would create a bands/ artifact that silently
+        # covers just the batch, hiding the whole original corpus from
+        # every later probe (review finding, round 3)
+        stored_bands = _band_keys(sigs_idx, cfg, "doc_id").materialize()
+        stored_bands.write_parquet(os.path.join(staging, "bands"))
+        bands_idx = stored_bands.rename_columns({"doc_id": "idx_id"})
 
     def tag(side: int, id_col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -297,9 +255,11 @@ def extend_index(
     pick = clusters_idx.map_batches(
         filter_to_ids("doc_id", eref), batch_format="pyarrow"
     )
-    lref = _stored_lookup.remote(*(pick.to_arrow_refs() or []))
+    lref = _assemble_sorted_pairs.remote(
+        "doc_id", "cluster_id", *(pick.to_arrow_refs() or [])
+    )
     forests = [_contract_forest_task.remote(lref, r) for r in v_refs]
-    nodes, labels, stored_eps = ray.get(
+    nodes, labels, stored_eps, n_touched = ray.get(
         _merge_forests.remote(lref, *[r for pair in forests for r in pair])
     )
     bref = ray.put((nodes, labels, stored_eps))
@@ -365,7 +325,7 @@ def extend_index(
         "batch_id": batch_id,
         "n_new": sigs_new.count(),
         "n_new_edges": verified.count(),
-        "n_touched_clusters": int(len(np.unique(stored_eps))),
+        "n_touched_clusters": n_touched,
     }
     journal = {
         "staging": staging,
@@ -378,11 +338,4 @@ def extend_index(
         json.dump(journal, f, indent=1)
     os.replace(journal_path + ".tmp", journal_path)
     _install_files(ckpt_root, journal_path)
-    return rd.read_parquet(
-        sorted(
-            glob.glob(
-                os.path.join(ckpt_root, "clusters", "**", "*.parquet"),
-                recursive=True,
-            )
-        )
-    )
+    return _read_stage(ckpt_root, "clusters")

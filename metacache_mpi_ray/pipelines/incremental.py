@@ -54,6 +54,7 @@ from metacache_mpi_ray.state.checkpoint import (
     ConfigMismatch,
     checkpointed_stage,
     init_checkpoint_root,
+    resume_pending_commit,
 )
 
 
@@ -130,7 +131,13 @@ def load_index_config(ckpt_root: str) -> DedupConfig:
 
 def _read_stage(ckpt_root: str, stage: str, columns=None):
     """Read a stage checkpoint as an explicit sorted file list (avoids
-    hive-partition inference over the sharded shard=K layout)."""
+    hive-partition inference over the sharded shard=K layout).
+
+    Heals a torn extend commit first (one stat when there is none):
+    without this, a crash between an extend's journal write and its
+    installation would leave sibling readers (query mode, REPL, info)
+    silently consuming a half-updated index."""
+    resume_pending_commit(ckpt_root)
     files = sorted(
         glob.glob(os.path.join(ckpt_root, stage, "**", "*.parquet"), recursive=True)
     )

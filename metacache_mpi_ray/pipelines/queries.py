@@ -506,7 +506,6 @@ def q_extend_index_planted(sf_dir: str):
     minhash_clusters_planted's SQL oracle."""
     import hashlib
     import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -548,7 +547,11 @@ def q_extend_index_planted(sf_dir: str):
     root = f"/tmp/metacache_extidx_{key}"
     a_docs = ingest_documents(ids_ds.map_batches(build_orig, batch_format="pyarrow"))
     build_index(a_docs, CFG, root, num_partitions=8)
-    work = os.path.join(tempfile.mkdtemp(prefix="metacache_ext_"), "idx")
+    # fixed per-key work dir, recreated per run: a fresh mkdtemp per
+    # call would leak one full index copy per invocation
+    work = f"{root}_work"
+    if os.path.exists(work):
+        shutil.rmtree(work)
     shutil.copytree(root, work)
     b_docs = ingest_documents(
         ids_ds.map_batches(build_copies, batch_format="pyarrow")

@@ -225,3 +225,62 @@ def completed_shards(root: str, stage: str) -> list[int]:
         if name.startswith("shard-") and name.endswith(".done"):
             out.append(int(name[len("shard-") : -len(".done")]))
     return sorted(out)
+
+
+# --- extend-commit journal (pipelines/extend.py writes it; every index
+# reader heals a torn commit via resume_pending_commit) -----------------
+
+
+def _checkpoint_install_files(root: str, journal_path: str) -> None:
+    """Roll an extend-commit journal forward: each move is an os.replace
+    made idempotent (skip when the source is gone and the target
+    exists), then the clusters swap, the lineage append, and cleanup."""
+    with open(journal_path) as f:
+        journal = json.load(f)
+    for src, dst in journal["moves"]:
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        elif not os.path.exists(dst):
+            raise RuntimeError(
+                f"interrupted extend at {root}: journaled move lost both "
+                f"sides ({src} -> {dst}); rebuild the index"
+            )
+    # the clusters swap: new full table replaces the old one
+    tmp_clusters = journal["clusters_tmp"]
+    if os.path.exists(tmp_clusters):
+        final = os.path.join(root, "clusters")
+        old = os.path.join(root, "clusters.__old__")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.replace(final, old)
+        os.replace(tmp_clusters, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    lineage = json.loads(journal["lineage"])
+    extends_path = os.path.join(root, "extends.json")
+    records = []
+    if os.path.exists(extends_path):
+        with open(extends_path) as f:
+            records = json.load(f)
+    if not any(r["batch_id"] == lineage["batch_id"] for r in records):
+        records.append(lineage)
+        with open(extends_path + ".tmp", "w") as f:
+            json.dump(records, f, indent=1)
+        os.replace(extends_path + ".tmp", extends_path)
+    os.remove(journal_path)
+    staging = journal["staging"]
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
+def resume_pending_commit(ckpt_root: str) -> bool:
+    """Complete an interrupted extend commit, if any. Returns True when
+    a pending journal was rolled forward. Safe (and cheap: one stat) to
+    call from any reader before consuming index artifacts."""
+    journal_path = os.path.join(ckpt_root, "extend.commit.json")
+    if os.path.exists(journal_path):
+        _checkpoint_install_files(ckpt_root, journal_path)
+        return True
+    return False

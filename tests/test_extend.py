@@ -185,6 +185,40 @@ def test_interrupted_commit_rolls_forward(built_a, monkeypatch):
         assert json.load(f)[0]["n_new"] == 7
 
 
+def test_extend_bandless_legacy_index(built_a):
+    """Extending an index without a persisted bands artifact (e.g. one
+    written by run_dedup_checkpointed) must install a bands table that
+    covers the STORED corpus too — installing only the batch's bands
+    would silently hide the original corpus from every later probe."""
+    import shutil
+
+    root, a_ids, a_src = built_a
+    shutil.rmtree(os.path.join(root, "bands"))
+    os.remove(os.path.join(root, "bands.done"))
+    b_ids, b_src = _b_batch()
+    extend_index(_token_docs(b_ids, b_src), root, CFG, num_partitions=4)
+    # the installed bands artifact covers stored + new docs
+    bands = rd.read_parquet(os.path.join(root, "bands")).to_pandas()
+    assert bands["doc_id"].nunique() == 100 + 7
+    # a LATER probe still sees the original corpus: query a copy of
+    # stored doc 30's text
+    q = query_against_index(
+        _token_docs(np.array([7000], dtype=np.int64),
+                    np.array([30], dtype=np.int64)),
+        root,
+        num_partitions=4,
+    ).to_pandas()
+    assert bool(q.loc[0, "matched"]) and q.loc[0, "matched_cluster_id"] == 30
+    # and a SECOND extend keeps matching stored docs too
+    ext2 = extend_index(
+        _token_docs(np.array([8000], dtype=np.int64),
+                    np.array([3], dtype=np.int64)),
+        root, CFG, num_partitions=4,
+    )
+    by_id = _canon(ext2.to_pandas()).set_index("doc_id")
+    assert by_id.loc[8000, "cluster_id"] == 3
+
+
 def test_extend_empty_batch_is_noop(built_a):
     root, a_ids, _ = built_a
     before = _canon(

@@ -251,6 +251,67 @@ def test_probe_bridge_stitch_across_batch_boundary():
     assert not {(11, 1), (12, 2), (13, 3)} <= got_capped
 
 
+def test_probe_emit_new_new_across_batch_boundaries():
+    """emit_new_new (the extend-mode probe): every (new x new) pair of a
+    surviving bucket must be emitted even when the bucket is split
+    across probe batches — compared against a brute-force enumeration
+    over several forced batch sizes."""
+    import itertools
+
+    from metacache_mpi_ray.pipelines.incremental import probe_tagged_bands
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 6 buckets with varying stored/new mixes, incl. new-only and
+    # stored-only buckets and one over-cap bucket
+    specs = [(5, 3, 3), (9, 1, 1), (12, 0, 4), (15, 2, 0), (21, 4, 5), (30, 1, 2)]
+    next_id = 1
+    for bkey, n_stored, n_new in specs:
+        for s in range(n_stored):
+            rows.append((bkey, next_id, 0)); next_id += 1
+        for nn in range(n_new):
+            rows.append((bkey, 100 + next_id, 1)); next_id += 1
+    perm = rng.permutation(len(rows))
+    tab = pa.table(
+        {
+            "bkey": pa.array([rows[i][0] for i in perm], type=pa.int64()),
+            "id": pa.array([rows[i][1] for i in perm], type=pa.int64()),
+            "side": pa.array([rows[i][2] for i in perm], type=pa.int8()),
+        }
+    )
+    # brute force: buckets <= cap must emit EVERY pair (want_min);
+    # over-cap buckets may leak a SUBSET of their pairs from
+    # per-fragment emission (the documented cap-leniency direction —
+    # fragments <= cap emit in-kernel before the stitch sees the
+    # reassembled total; same behavior as the flagship's bucket_edges)
+    want_min, allowed_extra = set(), set()
+    cap = 8
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for bkey, i, side in rows:
+        by_key.setdefault(bkey, []).append((i, side))
+    for bkey, members in by_key.items():
+        new = sorted(i for i, s in members if s == 1)
+        stored = sorted(i for i, s in members if s == 0)
+        bucket_pairs = {(n, s) for n in new for s in stored} | {
+            (a, b) for a, b in itertools.combinations(new, 2)
+        }
+        if len(members) > cap:
+            allowed_extra |= bucket_pairs
+        else:
+            want_min |= bucket_pairs
+    for bs in (2, 3, 5, None):
+        pairs = probe_tagged_bands(
+            rd.from_arrow(tab), cap=cap, probe_batch_size=bs, emit_new_new=True
+        ).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert want_min <= got, f"batch_size={bs}: missing {want_min - got}"
+        assert got <= want_min | allowed_extra, (
+            f"batch_size={bs}: invented {got - want_min - allowed_extra}"
+        )
+        if bs is None:  # one batch: every bucket whole, exact semantics
+            assert got == want_min
+
+
 def test_query_with_tiny_probe_batches_matches_default(index_root):
     """End-to-end: forcing many probe-batch boundaries must not lose
     matches vs the default batch size."""
