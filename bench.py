@@ -306,6 +306,23 @@ def run_bench() -> dict:
     queries["incremental_query"] = round(time.time() - t0, 3)
     assert n_q == n_batch
 
+    # extend mode (the reference's 'modify'): add the same batch to a
+    # COPY of the persisted index (extending the cached index itself
+    # would mutate it across bench runs)
+    import shutil
+
+    from metacache_mpi_ray.pipelines.extend import extend_index
+
+    ext_root = "/tmp/metacache_bench_extend_work"
+    if os.path.exists(ext_root):
+        shutil.rmtree(ext_root)
+    shutil.copytree(idx_root, ext_root)
+    t0 = time.time()
+    n_e = extend_index(b_docs, ext_root, num_partitions=num_partitions).count()
+    queries["extend_index"] = round(time.time() - t0, 3)
+    assert n_e == n_docs + n_batch
+    shutil.rmtree(ext_root)
+
     from metacache_mpi_ray.pipelines.queries import (
         q_simhash_dup_pairs,
         q_substring_candidates,

@@ -212,6 +212,14 @@ def cmd_info(args) -> int:
         }
     except FileNotFoundError:
         out["bucket_size_moments"] = None
+    # extension lineage (reference 'modify' mode): which batches were
+    # added, how many docs/edges/touched clusters each brought
+    import os
+
+    extends_path = os.path.join(args.index, "extends.json")
+    if os.path.exists(extends_path):
+        with open(extends_path) as f:
+            out["extends"] = json.load(f)
     print(json.dumps(out))
     return 0
 

@@ -85,6 +85,8 @@ def test_cli_extend(tmp_path, corpus_dir, capsys):
     info = json.loads(capsys.readouterr().out.strip())
     assert info["rows_clusters"] == 600
     assert info["rows_signatures"] == 600
+    assert [r["batch_id"] for r in info["extends"]] == ["b0001"]
+    assert info["extends"][0]["n_new"] == 100
 
     # a config override that disagrees with the stored index refuses
     import pytest
