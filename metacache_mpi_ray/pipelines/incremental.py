@@ -622,6 +622,16 @@ def query_against_index(
     # nothing matched -> the empty groupby loses its schema on
     # to_pandas(); rebuild the expected columns
     match_tbl = ensure_columns(match_tbl, ["new_id", "matched_cluster_id"])
+    # impossible-state guard: every verified pair carries a new_id, so a
+    # non-empty verified table MUST yield match rows. Crash loudly
+    # rather than return an all-unmatched result (a silent all-False
+    # was observed once in a deeply-throttled window, BASELINE.md
+    # session-9 — this converts any recurrence into a diagnosable error)
+    if len(match_tbl) == 0 and verified.count() > 0:
+        raise RuntimeError(
+            "internal inconsistency: verified candidate pairs exist but "
+            "cluster resolution produced no matches; re-run the query"
+        )
     m_ids = match_tbl["new_id"].to_numpy(dtype=np.int64)
     order = np.argsort(m_ids)
     m_ids = m_ids[order]
