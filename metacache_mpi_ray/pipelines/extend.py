@@ -28,6 +28,16 @@ Semantics vs a full rebuild over (stored ∪ new):
   verified in earlier builds are kept — the reference's modify mode
   likewise only un-indexes the feature going forward.
 
+Scale note (100 TB regime): signing/banding/probing/verifying are all
+batch-bounded, and the cluster-graph contraction is dup-footprint-
+bounded — the ONE corpus-bound step is the clusters rewrite, a single
+streaming map pass (no shuffle) + parquet write. That is the right
+trade while extends are occasional (daily crawl batches); if extends
+become frequent relative to corpus size, the next step is a remap
+SIDECAR (cluster_id -> merged label, composed at read time) with the
+rewrite deferred to a periodic compaction — the journal/commit
+machinery here already supports swapping in a compacted table.
+
 Crash safety: all new artifacts are staged under
 ``<root>/extend.__tmp__/`` and installed by a roll-forward commit
 journal (``extend.commit.json``) of individually idempotent renames;
