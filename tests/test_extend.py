@@ -185,6 +185,64 @@ def test_interrupted_commit_rolls_forward(built_a, monkeypatch):
         assert json.load(f)[0]["n_new"] == 7
 
 
+def test_extend_merges_old_clusters(tmp_path):
+    """A new doc similar to TWO dissimilar stored docs must merge their
+    clusters transitively (the contracted union-find's merge case —
+    unreachable with exact-copy fixtures, where a new doc has one text).
+
+    Triangle: a and b share no tokens; n = first half of a + first half
+    of b, so jaccard(n,a) ~ jaccard(n,b) ~ 1/3 while jaccard(a,b) = 0.
+    Config: 128 single-row bands (catches 1/3-similarity pairs with
+    probability ~1) and threshold 0.2 (3+ sigma below the 1/3 estimate,
+    so verification decisions are stable); extend and rebuild share
+    signatures bit-for-bit, so their decisions agree pair-by-pair."""
+    cfg = DedupConfig(n_perms=128, n_bands=128, sim_threshold=0.2)
+    ta = " ".join(f"alpha{i}token" for i in range(400))
+    tb = " ".join(f"bravo{i}token" for i in range(400))
+    tn = (
+        " ".join(f"alpha{i}token" for i in range(200))
+        + " "
+        + " ".join(f"bravo{i}token" for i in range(200))
+    )
+    singles = [f"solo{i}word " * 60 for i in range(5)]
+
+    def docs(ids, texts):
+        return ingest_documents(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                        "text": pa.array(texts, type=pa.string()),
+                    }
+                )
+            )
+        )
+
+    a_ids = [1, 2, 10, 11, 12, 13, 14]
+    a_txt = [ta, tb] + singles
+    root = str(tmp_path / "idx")
+    base = build_index(docs(a_ids, a_txt), cfg, root, num_partitions=4).to_pandas()
+    base = base.set_index("doc_id")
+    assert not base["is_dup"].any()  # a and b are NOT similar to each other
+
+    got = _canon(
+        extend_index(docs([100], [tn]), root, cfg, num_partitions=4).to_pandas()
+    )
+    root2 = str(tmp_path / "rebuild")
+    want = _canon(
+        build_index(
+            docs(a_ids + [100], a_txt + [tn]), cfg, root2, num_partitions=4
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    by_id = got.set_index("doc_id")
+    # the merge actually happened: a, b and n share one cluster (min id 1)
+    assert by_id.loc[1, "cluster_id"] == 1
+    assert by_id.loc[2, "cluster_id"] == 1
+    assert by_id.loc[100, "cluster_id"] == 1
+    assert bool(by_id.loc[2, "is_dup"])
+
+
 def test_extend_bandless_legacy_index(built_a):
     """Extending an index without a persisted bands artifact (e.g. one
     written by run_dedup_checkpointed) must install a bands table that
