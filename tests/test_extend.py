@@ -277,6 +277,51 @@ def test_extend_bandless_legacy_index(built_a):
     assert by_id.loc[8000, "cluster_id"] == 3
 
 
+@pytest.mark.parametrize("seed", [11, 37])
+def test_extend_parity_randomized(tmp_path, seed):
+    """Randomized structures: dup groups of size 1-6 with members split
+    arbitrarily between the base corpus and the extend batch (including
+    batch-only groups -> pure new x new dups, and base-only groups that
+    the extension must leave untouched). build(A)+extend(B) must equal
+    build(A∪B) exactly."""
+    rng = np.random.default_rng(seed)
+    ids, srcs, side = [], [], []
+    next_id = 1
+    for g in range(40):
+        size = int(rng.integers(1, 7))
+        src = 10_000 + g
+        members = []
+        for _ in range(size):
+            members.append(next_id)
+            next_id += int(rng.integers(1, 9))
+        split = rng.random(size) < 0.4  # ~40% of members arrive via extend
+        if size == 1 and rng.random() < 0.5:
+            split[:] = True  # some batch-only singletons too
+        for m, in_b in zip(members, split):
+            ids.append(m)
+            srcs.append(src)
+            side.append(bool(in_b))
+    ids = np.array(ids, dtype=np.int64)
+    srcs = np.array(srcs, dtype=np.int64)
+    side = np.array(side)
+    if not (~side).any():  # base must exist to build an index over
+        side[0] = False
+
+    root = str(tmp_path / f"idx{seed}")
+    build_index(_token_docs(ids[~side], srcs[~side]), CFG, root, num_partitions=4)
+    got = _canon(
+        extend_index(
+            _token_docs(ids[side], srcs[side]), root, CFG, num_partitions=4
+        ).to_pandas()
+    )
+    root2 = str(tmp_path / f"rebuild{seed}")
+    want = _canon(
+        build_index(_token_docs(ids, srcs), CFG, root2, num_partitions=4)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_extend_empty_batch_is_noop(built_a):
     root, a_ids, _ = built_a
     before = _canon(
