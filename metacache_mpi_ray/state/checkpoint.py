@@ -269,10 +269,14 @@ def _checkpoint_install_files(root: str, journal_path: str) -> None:
         with open(extends_path + ".tmp", "w") as f:
             json.dump(records, f, indent=1)
         os.replace(extends_path + ".tmp", extends_path)
-    os.remove(journal_path)
-    staging = journal["staging"]
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    # two readers may heal the same journal concurrently: every rename
+    # above is individually idempotent, so the loser of these final
+    # cleanup races just finds the work already done
+    try:
+        os.remove(journal_path)
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(journal["staging"], ignore_errors=True)
 
 
 def resume_pending_commit(ckpt_root: str) -> bool:
