@@ -63,6 +63,17 @@ def init_checkpoint_root(
     os.makedirs(root, exist_ok=True)
     guards = [("config.json", cfg.to_json())]
     if input_files is not None:
+        # a root that was EXTENDED holds artifacts for a larger corpus
+        # than any fixed input manifest: resuming a one-shot run from it
+        # would return results that don't correspond to the declared
+        # inputs (extend_index keeps build_index-compatible artifacts,
+        # so the manifest alone wouldn't catch the mutation)
+        if os.path.exists(os.path.join(root, "extends.json")):
+            raise ConfigMismatch(
+                f"checkpoint at {root} was extended after its build "
+                "(extends.json present); a manifest-pinned run cannot "
+                "resume from it — use a fresh checkpoint root"
+            )
         guards.append(("inputs.json", _input_manifest(input_files)))
     for fname, payload in guards:
         path = os.path.join(root, fname)

@@ -322,6 +322,22 @@ def test_extend_parity_randomized(tmp_path, seed):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_extended_root_refuses_manifest_pinned_resume(built_a, tmp_path):
+    """A one-shot checkpointed run (manifest-pinned inputs) must refuse
+    to resume from a root that extend_index mutated afterwards."""
+    from metacache_mpi_ray.state.checkpoint import init_checkpoint_root
+
+    root, _, _ = built_a
+    b_ids, b_src = _b_batch()
+    extend_index(_token_docs(b_ids, b_src), root, CFG, num_partitions=4)
+    some_file = str(tmp_path / "in.parquet")
+    open(some_file, "w").close()
+    with pytest.raises(ConfigMismatch, match="extended"):
+        init_checkpoint_root(root, CFG, input_files=[some_file])
+    # build_index-style use (no manifest) keeps working
+    init_checkpoint_root(root, CFG)
+
+
 def test_extend_empty_batch_is_noop(built_a):
     root, a_ids, _ = built_a
     before = _canon(
