@@ -1366,6 +1366,180 @@ def q_rank_merge_planted(sf_dir: str):
     return classify_merged(topk, tax, hits_min=4, hits_diff_fraction=0.5)
 
 
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _np_concat(*parts):
+    """Elementwise string concatenation of scalar/array parts."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.char.add(out, p)
+    return out
+
+
+def _planted_line_corpus(sf_dir: str):
+    """Boilerplate-line corpus over the documents doc_id universe.
+
+    Every doc carries (in order): a corpus-wide cookie line (hot), a
+    'nav section <id%7>' line (~n/7 docs each — above threshold), a
+    unique body line, a 'rare token <id%97>' line (~n/97 docs — below
+    threshold), and a corpus-wide footer (hot). At min_docs =
+    max(2, n//20) the census must keep exactly the body + rare lines,
+    which a DuckDB census over the same synthesized text reproduces.
+    """
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids.astype("U")
+        txt = _np_concat(
+            "cookie banner accept all cookies\nnav section ",
+            (ids % 7).astype("U"),
+            "\nbody ",
+            s,
+            " unique\nrare token ",
+            (ids % 97).astype("U"),
+            "\nfooter copyright 2026",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+
+    return ids_ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_boilerplate_removed_planted(sf_dir: str):
+    """Corpus-wide boilerplate-line removal (broadcast removal set) —
+    the line-feature analog of the reference's overpopulated-feature
+    removal (sketch_database.h:356-417, census at mode_build.cpp:847-
+    1074), checked against a full SQL line census."""
+    from metacache_mpi_ray.stages.corpus_clean import remove_boilerplate_lines
+
+    n = _doc_count(sf_dir)
+    return remove_boilerplate_lines(
+        _planted_line_corpus(sf_dir),
+        min_docs=max(2, n // 20),
+        strategy="broadcast",
+    )
+
+
+def q_boilerplate_removed_join(sf_dir: str):
+    """Same semantics via the hash-partitioned anti-join + sort/segment
+    reassembly path (the 100-TB route when the removal set outgrows the
+    object store) — identical oracle to the broadcast variant."""
+    from metacache_mpi_ray.stages.corpus_clean import remove_boilerplate_lines
+
+    n = _doc_count(sf_dir)
+    return remove_boilerplate_lines(
+        _planted_line_corpus(sf_dir),
+        min_docs=max(2, n // 20),
+        strategy="join",
+        num_partitions=8,
+    )
+
+
+def q_redact_pii_planted(sf_dir: str):
+    """Vectorized RE2 PII scrubbing over a planted corpus with one
+    email + one phone per doc; DuckDB's regexp engine is RE2 too, so
+    the oracle applies the byte-identical patterns."""
+    from metacache_mpi_ray.stages.corpus_clean import redact_pii_batch
+
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids.astype("U")
+        txt = _np_concat(
+            "reach user",
+            s,
+            "@mail",
+            (ids % 7).astype("U"),
+            ".example.org or dial +",
+            (ids % 9).astype("U"),
+            "55 010 9",
+            (ids % 10).astype("U"),
+            " now.",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+
+    return ids_ds.map_batches(build, batch_format="pyarrow").map_batches(
+        redact_pii_batch, batch_format="pyarrow"
+    )
+
+
+def q_repetition_stats_planted(sf_dir: str):
+    """Within-document duplicate-line signals (Gopher repetition rules)
+    over a planted corpus: 'alpha <id>' / (1 + id%3) x 'beta' /
+    'alpha <id>' again / 'omega <id>' — dup counts and dup chars are
+    closed-form in doc_id."""
+    from metacache_mpi_ray.stages.corpus_clean import repetition_stats_batch
+
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+    beta_blocks = np.array(["beta", "beta\nbeta", "beta\nbeta\nbeta"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids.astype("U")
+        alpha = _np_concat("alpha ", s)
+        txt = _np_concat(
+            alpha, "\n", beta_blocks[ids % 3], "\n", alpha, "\nomega ", s
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+
+    return ids_ds.map_batches(build, batch_format="pyarrow").map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_clean_pipeline_planted(sf_dir: str):
+    """Composed cleaning chain (boilerplate removal then PII redaction,
+    one streamed pipeline): hot cookie/footer lines removed, the email
+    contact line and the sub-threshold ref line kept, then the email
+    redacted — end state is closed-form in doc_id."""
+    from metacache_mpi_ray.stages.corpus_clean import clean_corpus
+
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids.astype("U")
+        txt = _np_concat(
+            "cookie banner accept all cookies\ncontact user",
+            s,
+            "@mail",
+            (ids % 7).astype("U"),
+            ".example.org please\nref ",
+            (ids % 997).astype("U"),
+            " code\nfooter copyright 2026",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+
+    docs = ids_ds.map_batches(build, batch_format="pyarrow")
+    n = _doc_count(sf_dir)
+    return clean_corpus(docs, min_docs=max(2, n // 20), strategy="broadcast")
+
+
 # Ordered so the flagship evidence chain runs FIRST: the driver records
 # queries in dict order, and round 2 lost its embedding_near_dup row to
 # an end-of-suite cutoff. If anything gets truncated now it is the cheap
@@ -1380,6 +1554,11 @@ QUERIES = {
     "dedup_eval_planted": q_dedup_eval_planted,
     "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
     "rank_merge_planted": q_rank_merge_planted,
+    "boilerplate_removed_planted": q_boilerplate_removed_planted,
+    "boilerplate_removed_join": q_boilerplate_removed_join,
+    "redact_pii_planted": q_redact_pii_planted,
+    "repetition_stats_planted": q_repetition_stats_planted,
+    "clean_pipeline_planted": q_clean_pipeline_planted,
     "substring_candidates_planted": q_substring_candidates_planted,
     "sample_docs_hashed": q_sample_docs_hashed,
     "ivf_topk_planted": q_ivf_topk_planted,
@@ -1516,7 +1695,70 @@ _FINGERPRINT_MOD_ORACLE = (
 )
 
 
+def _boilerplate_oracle() -> str:
+    """Full SQL line census over the same synthesized text: split,
+    count distinct docs per line, threshold at max(2, n//20), rebuild
+    clean_text in original line order."""
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "  'cookie banner accept all cookies' || chr(10) || "
+        "  'nav section ' || (doc_id % 7) || chr(10) || "
+        "  'body ' || doc_id || ' unique' || chr(10) || "
+        "  'rare token ' || (doc_id % 97) || chr(10) || "
+        "  'footer copyright 2026' AS t FROM documents), "
+        "k AS (SELECT greatest(2, (SELECT count(*) FROM documents) // 20) AS md), "
+        "ls AS (SELECT doc_id, string_split(t, chr(10)) AS la FROM d), "
+        "l AS (SELECT doc_id, la[i] AS line, i AS ord FROM ("
+        "  SELECT doc_id, la, unnest(generate_series(1, len(la))) AS i FROM ls)), "
+        "hot AS (SELECT line FROM l GROUP BY line "
+        "  HAVING count(DISTINCT doc_id) >= (SELECT md FROM k)), "
+        "kept AS (SELECT doc_id, line, ord FROM l "
+        "  WHERE line NOT IN (SELECT line FROM hot)), "
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS ct, "
+        "  count(*) AS nk FROM kept GROUP BY doc_id), "
+        "base AS (SELECT doc_id, len(string_split(t, chr(10))) AS nl FROM d) "
+        "SELECT b.doc_id AS doc_id, COALESCE(a.ct, '') AS clean_text, "
+        "CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_kept, "
+        "CAST(b.nl - COALESCE(a.nk, 0) AS BIGINT) AS n_removed "
+        "FROM base b LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _redact_pii_oracle() -> str:
+    from metacache_mpi_ray.stages.corpus_clean import EMAIL_PATTERN, PHONE_PATTERN
+
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "  'reach user' || doc_id || '@mail' || (doc_id % 7) || "
+        "  '.example.org or dial +' || (doc_id % 9) || '55 010 9' || "
+        "  (doc_id % 10) || ' now.' AS t FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g'), "
+        f"  '{PHONE_PATTERN}', '<PHONE>', 'g') AS text, "
+        f"CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones "
+        "FROM d"
+    )
+
+
 ORACLE_SQL = {
+    "boilerplate_removed_planted": _boilerplate_oracle(),
+    "boilerplate_removed_join": _boilerplate_oracle(),
+    "redact_pii_planted": _redact_pii_oracle(),
+    "repetition_stats_planted": (
+        "SELECT doc_id, CAST(4 + doc_id % 3 AS BIGINT) AS n_lines, "
+        "CAST(1 + doc_id % 3 AS BIGINT) AS n_dup_lines, "
+        "CAST(4 * (doc_id % 3) + 6 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) "
+        "AS n_dup_chars FROM documents"
+    ),
+    "clean_pipeline_planted": (
+        "SELECT doc_id, "
+        "'contact <EMAIL> please' || chr(10) || 'ref ' || (doc_id % 997) || ' code' "
+        "AS clean_text, "
+        "CAST(2 AS BIGINT) AS n_kept, CAST(2 AS BIGINT) AS n_removed, "
+        "CAST(1 AS BIGINT) AS n_emails, CAST(0 AS BIGINT) AS n_phones "
+        "FROM documents"
+    ),
     "lang_id_planted": _lang_id_planted_oracle(),
     "doc_fingerprints_mod": _FINGERPRINT_MOD_ORACLE,
     "exact_dedup_groups": (
