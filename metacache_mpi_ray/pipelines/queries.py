@@ -1540,6 +1540,68 @@ def q_clean_pipeline_planted(sf_dir: str):
     return clean_corpus(docs, min_docs=max(2, n // 20), strategy="broadcast")
 
 
+def _decon_corpus(sf_dir: str):
+    """Corpus for the decontamination oracle: every doc a fixed body,
+    docs with doc_id % 7 == 0 additionally embed benchmark passage
+    (doc_id % 10) verbatim — exactly two 5-grams of overlap."""
+    ids_ds = _documents(sf_dir, columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids.astype("U")
+        suffix = np.where(
+            ids % 7 == 0,
+            _np_concat(
+                " secret eval passage ", (ids % 10).astype("U"), " marker end"
+            ),
+            "",
+        )
+        txt = _np_concat("web doc ", s, " filler alpha beta gamma", suffix)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+
+    return ids_ds.map_batches(build, batch_format="pyarrow")
+
+
+def _decon_benchmark():
+    """The 10 planted benchmark passages as a tiny in-memory Dataset."""
+    ks = np.arange(10, dtype=np.int64)
+    txt = _np_concat("secret eval passage ", ks.astype("U"), " marker end")
+    return rd.from_arrow(pa.table({"text": pa.array(txt, type=pa.string())}))
+
+
+def q_decontaminate_planted(sf_dir: str):
+    """Benchmark decontamination (broadcast gram set): flag corpus docs
+    sharing any 5-token gram with a planted benchmark table — the
+    clade-exclusion anti-filter (classification.cpp:141-183) with a
+    token n-gram as the excluded key. The oracle recomputes the full
+    n-gram overlap join string-wise in SQL."""
+    from metacache_mpi_ray.stages.decontaminate import decontaminate
+
+    return decontaminate(
+        _decon_corpus(sf_dir), _decon_benchmark(), n=5, strategy="broadcast"
+    )
+
+
+def q_decontaminate_join(sf_dir: str):
+    """Same semantics via the exploded-gram inner join + per-doc
+    aggregation (the route when the benchmark gram table outgrows the
+    object store) — identical oracle to the broadcast variant."""
+    from metacache_mpi_ray.stages.decontaminate import decontaminate
+
+    return decontaminate(
+        _decon_corpus(sf_dir),
+        _decon_benchmark(),
+        n=5,
+        strategy="join",
+        num_partitions=8,
+    )
+
+
 # Ordered so the flagship evidence chain runs FIRST: the driver records
 # queries in dict order, and round 2 lost its embedding_near_dup row to
 # an end-of-suite cutoff. If anything gets truncated now it is the cheap
@@ -1559,6 +1621,8 @@ QUERIES = {
     "redact_pii_planted": q_redact_pii_planted,
     "repetition_stats_planted": q_repetition_stats_planted,
     "clean_pipeline_planted": q_clean_pipeline_planted,
+    "decontaminate_planted": q_decontaminate_planted,
+    "decontaminate_join": q_decontaminate_join,
     "substring_candidates_planted": q_substring_candidates_planted,
     "sample_docs_hashed": q_sample_docs_hashed,
     "ivf_topk_planted": q_ivf_topk_planted,
@@ -1741,7 +1805,37 @@ def _redact_pii_oracle() -> str:
     )
 
 
+def _decontaminate_oracle() -> str:
+    """Full string-wise n-gram overlap join in SQL: split both sides
+    into tokens, enumerate every 5-gram position, join corpus grams to
+    DISTINCT benchmark grams, count positions per doc."""
+    return (
+        "WITH corpus AS (SELECT doc_id, 'web doc ' || doc_id || "
+        "  ' filler alpha beta gamma' || "
+        "  CASE WHEN doc_id % 7 = 0 THEN ' secret eval passage ' || "
+        "  (doc_id % 10) || ' marker end' ELSE '' END AS t FROM documents), "
+        "bench AS (SELECT 'secret eval passage ' || k || ' marker end' AS t "
+        "  FROM range(10) r(k)), "
+        "bg AS (SELECT DISTINCT array_to_string(la[i:i+4], ' ') AS g FROM ("
+        "  SELECT string_split(t, ' ') AS la, "
+        "  unnest(generate_series(1, len(string_split(t, ' ')) - 4)) AS i "
+        "  FROM bench)), "
+        "cg AS (SELECT doc_id, array_to_string(la[i:i+4], ' ') AS g FROM ("
+        "  SELECT doc_id, string_split(t, ' ') AS la, "
+        "  unnest(generate_series(1, len(string_split(t, ' ')) - 4)) AS i "
+        "  FROM corpus)), "
+        "hits AS (SELECT doc_id, count(*) AS nh FROM cg JOIN bg USING (g) "
+        "  GROUP BY doc_id) "
+        "SELECT d.doc_id AS doc_id, "
+        "CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits, "
+        "CAST(COALESCE(h.nh, 0) > 0 AS BIGINT) AS is_contaminated "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    )
+
+
 ORACLE_SQL = {
+    "decontaminate_planted": _decontaminate_oracle(),
+    "decontaminate_join": _decontaminate_oracle(),
     "boilerplate_removed_planted": _boilerplate_oracle(),
     "boilerplate_removed_join": _boilerplate_oracle(),
     "redact_pii_planted": _redact_pii_oracle(),
