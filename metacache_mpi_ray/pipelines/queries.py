@@ -1602,6 +1602,71 @@ def q_decontaminate_join(sf_dir: str):
     )
 
 
+def q_events_running_sum(sf_dir: str):
+    """Per-user running sum over the REAL events table via the
+    two-pass distributed scan (stages/scan.py): one range sort, then
+    two parallel block passes with an off-driver carry table. Values
+    are floored to integer cents so the running sums are exact and
+    order-independent, matching the SQL window-function oracle."""
+    from metacache_mpi_ray.stages.scan import cumsum_per_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts": t["ts"],
+                "value_cents": pa.array(v, type=pa.int64()),
+            }
+        )
+
+    run = cumsum_per_group(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        group_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value_cents",
+        out_col="running_cents",
+    )
+    return run.select_columns(["event_id", "user_id", "value_cents", "running_cents"])
+
+
+def q_docs_budget_sample(sf_dir: str):
+    """Token-budget data mixing over the REAL documents table: keep
+    each language's docs in deterministic Knuth-hash order until a
+    third of that language's total chars is reached — budget_sample =
+    distributed scan + per-group budget filter, vs a SQL window sum."""
+    from metacache_mpi_ray.stages.scan import budget_sample
+
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    totals = docs.groupby("lang").aggregate(Sum("n_chars")).to_pandas()
+    budgets = {
+        r["lang"]: int(r["sum(n_chars)"]) // 3 for _, r in totals.iterrows()
+    }
+
+    def hkey(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return t.append_column("__hkey", pa.array(h.astype(np.int64), type=pa.int64()))
+
+    run = budget_sample(
+        docs.map_batches(hkey, batch_format="pyarrow"),
+        group_cols=["lang"],
+        order_cols=["__hkey", "doc_id"],
+        weight_col="n_chars",
+        budgets=budgets,
+        out_col="running_chars",
+    )
+    return run.select_columns(["doc_id", "lang", "n_chars", "running_chars"])
+
+
 # Ordered so the flagship evidence chain runs FIRST: the driver records
 # queries in dict order, and round 2 lost its embedding_near_dup row to
 # an end-of-suite cutoff. If anything gets truncated now it is the cheap
@@ -1623,6 +1688,8 @@ QUERIES = {
     "clean_pipeline_planted": q_clean_pipeline_planted,
     "decontaminate_planted": q_decontaminate_planted,
     "decontaminate_join": q_decontaminate_join,
+    "events_running_sum": q_events_running_sum,
+    "docs_budget_sample": q_docs_budget_sample,
     "substring_candidates_planted": q_substring_candidates_planted,
     "sample_docs_hashed": q_sample_docs_hashed,
     "ivf_topk_planted": q_ivf_topk_planted,
@@ -1834,6 +1901,25 @@ def _decontaminate_oracle() -> str:
 
 
 ORACLE_SQL = {
+    "events_running_sum": (
+        "SELECT event_id, user_id, "
+        "CAST(floor(value * 100) AS BIGINT) AS value_cents, "
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+        "AS running_cents FROM events"
+    ),
+    "docs_budget_sample": (
+        "WITH w AS (SELECT doc_id, lang, n_chars, "
+        "  sum(n_chars) OVER (PARTITION BY lang ORDER BY "
+        "  (doc_id * 2654435761) % 4294967296, doc_id) AS run "
+        "  FROM documents), "
+        "b AS (SELECT lang, sum(n_chars) // 3 AS budget FROM documents "
+        "  GROUP BY lang) "
+        "SELECT w.doc_id AS doc_id, w.lang AS lang, "
+        "CAST(w.n_chars AS BIGINT) AS n_chars, "
+        "CAST(w.run AS BIGINT) AS running_chars "
+        "FROM w JOIN b USING (lang) WHERE w.run <= b.budget"
+    ),
     "decontaminate_planted": _decontaminate_oracle(),
     "decontaminate_join": _decontaminate_oracle(),
     "boilerplate_removed_planted": _boilerplate_oracle(),

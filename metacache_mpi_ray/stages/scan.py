@@ -1,0 +1,227 @@
+"""Distributed per-group prefix scan (running aggregates) + budget sampling.
+
+Ray Data has no ordered-scan operator: a per-group running sum needs
+every row to see the total of all PRECEDING rows of its group, which
+``map_batches`` can't express (no cross-block order) and ``map_groups``
+would serialize per group (one Python call per group; groups here are
+languages/users — few and huge). This stage implements the classic
+two-pass parallel scan over the blocks of ONE range shuffle:
+
+1. sort by (group, order) — the only all-to-all move;
+2. pass 1: one tiny task per sorted block emits per-(block, group)
+   fragment sums — O(#blocks + #groups) rows in total;
+3. one off-driver task orders fragments by (group, first order key)
+   and prefix-sums them into a carry per fragment;
+4. pass 2: one task per block re-reads the SAME materialized blocks
+   (identity guaranteed — passes operate on explicit block refs, not
+   re-batched data) and adds carry + local inclusive cumsum.
+
+Wall-clock = one sort + two embarrassingly parallel block passes; the
+carry table is broadcast once via the object store. The reference has
+no scan operator — the nearest analog is its per-target window-range
+accumulation (/root/reference/src/candidates.h:118-180), which also
+relies on (key, position)-sorted input.
+
+``budget_sample`` builds data mixing on top: keep each group's rows in
+deterministic hash order until a per-group weight budget is exhausted
+(the "sample N tokens per language" operation of training-data
+pipelines).
+
+Constraints (documented, asserted): ``order_cols`` must be
+int64-coercible (ints / timestamps) and unique per row within a group
+(pass an id column as tiebreaker); ``value_col`` must be integral so
+running sums are exact and order-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from metacache_mpi_ray.functions.hashing import (
+    U64,
+    arrow_string_buffer,
+    doc_hashes_from_buffer,
+    mix2,
+    splitmix64,
+)
+
+
+def _as_table(block) -> pa.Table:
+    """Sorted blocks keep their input format: parquet-born datasets
+    carry Arrow tables, from_pandas-born ones carry DataFrames."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+def _col_i64(t: pa.Table, c: str) -> np.ndarray:
+    col = t[c]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _col_hash(t: pa.Table, c: str) -> np.ndarray:
+    col = t[c]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        data, starts, ends = arrow_string_buffer(col)
+        return doc_hashes_from_buffer(data, starts, ends, seed=23)
+    return splitmix64(_col_i64(t, c).view(U64))
+
+
+def _row_hash(t: pa.Table, cols: list[str]) -> np.ndarray:
+    h = np.full(len(t), U64(0x9E3779B97F4A7C15))
+    for c in cols:
+        h = mix2(h, _col_hash(t, c))
+    return h
+
+
+def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of equal-value runs in ``keys``."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    return starts, lens
+
+
+def _frag_table(t: pa.Table, group_cols, order_cols, value_col):
+    """Per-(block, group) fragment summary: one row per group segment."""
+    g = _row_hash(t, group_cols)
+    starts, lens = _segments(g)
+    v = _col_i64(t, value_col)
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
+    frag_sum = cs[starts + lens] - cs[starts]
+    segkey = mix2(g[starts], _row_hash(t, order_cols)[starts])
+    cols = {
+        "ghash": pa.array(g[starts].view(np.int64), type=pa.int64()),
+        "segkey": pa.array(segkey.view(np.int64), type=pa.int64()),
+        "frag_sum": pa.array(frag_sum, type=pa.int64()),
+    }
+    for j, c in enumerate(order_cols):
+        cols[f"o{j}"] = pa.array(_col_i64(t, c)[starts], type=pa.int64())
+    return pa.table(cols)
+
+
+def cumsum_per_group(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+):
+    """Append ``out_col`` = inclusive per-group running sum of
+    ``value_col`` in (group, order) order. Returns a Dataset with the
+    input columns plus ``out_col`` (int64), range-partitioned by the
+    sort key."""
+    n_order = len(order_cols)
+    sorted_ds = ds.sort(list(group_cols) + list(order_cols)).materialize()
+    refs = [
+        ref
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not refs:
+        base = ds.schema()
+        fields = list(zip(base.names, base.types)) + [(out_col, pa.int64())]
+        return rd.from_arrow(pa.schema(fields).empty_table())
+
+    @ray.remote
+    def frag(block):
+        return _frag_table(_as_table(block), group_cols, order_cols, value_col)
+
+    @ray.remote
+    def carries(*tabs):
+        t = pa.concat_tables(tabs)
+        gh = t["ghash"].to_numpy(zero_copy_only=False)
+        fs = t["frag_sum"].to_numpy(zero_copy_only=False)
+        ords = [
+            t[f"o{j}"].to_numpy(zero_copy_only=False) for j in range(n_order)
+        ]
+        order = np.lexsort(tuple(reversed(ords)) + (gh,))
+        gh_s, fs_s = gh[order], fs[order]
+        # exclusive prefix within each group run
+        starts, lens = _segments(gh_s)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(fs_s)])[:-1]
+        carry = cs - np.repeat(cs[starts], lens)
+        segkey = t["segkey"].to_numpy(zero_copy_only=False)[order]
+        ksort = np.argsort(segkey)
+        return segkey[ksort], carry[ksort]
+
+    carry_ref = carries.remote(*[frag.remote(r) for r in refs])
+
+    @ray.remote
+    def apply(block, carry):
+        keys, cvals = carry
+        block = _as_table(block)
+        g = _row_hash(block, group_cols)
+        starts, lens = _segments(g)
+        v = _col_i64(block, value_col)
+        cs = np.cumsum(v)
+        base = np.concatenate([np.zeros(1, np.int64), cs])[starts]
+        local = cs - np.repeat(base, lens)
+        segkey = mix2(g[starts], _row_hash(block, order_cols)[starts]).view(
+            np.int64
+        )
+        pos = np.searchsorted(keys, segkey)
+        if len(keys) == 0 or not (keys[np.minimum(pos, len(keys) - 1)] == segkey).all():
+            raise RuntimeError("scan carry lookup missed a segment key")
+        running = local + np.repeat(cvals[pos], lens)
+        return block.append_column(
+            out_col, pa.array(running, type=pa.int64())
+        )
+
+    outs = [apply.remote(r, carry_ref) for r in refs]
+    return rd.from_arrow_refs(outs)
+
+
+def budget_sample(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    budgets,
+    out_col: str = "running",
+):
+    """Keep each group's rows, in (order_cols) order, while the
+    inclusive running sum of ``weight_col`` stays within the group's
+    budget — the "N tokens per language" mixing sampler. ``budgets``
+    is a scalar or a dict keyed by the group value (single group col)
+    / tuple of values. Deterministic: same input -> same sample, any
+    partitioning."""
+    run = cumsum_per_group(ds, group_cols, order_cols, weight_col, out_col)
+    if np.isscalar(budgets):
+        lim = int(budgets)
+        return run.filter(expr=f"{out_col} <= {lim}")
+    items = [
+        ((k,) if not isinstance(k, tuple) else k, int(v))
+        for k, v in budgets.items()
+    ]
+    bref = ray.put(items)
+
+    def pick(t: pa.Table) -> pa.Table:
+        pairs = ray.get(bref)
+        lim = np.zeros(len(t), dtype=np.int64)  # unknown groups: budget 0
+        cols = [t[c].to_pandas() for c in group_cols]
+        for key, v in pairs:
+            m = np.ones(len(t), dtype=bool)
+            for c, kv in zip(cols, key):
+                m &= (c == kv).to_numpy()
+            lim[m] = v
+        r = t[out_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r <= lim))
+
+    return run.map_batches(pick, batch_format="pyarrow")

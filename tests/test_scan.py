@@ -1,0 +1,115 @@
+"""Distributed per-group prefix scan + budget sampling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from metacache_mpi_ray.stages.scan import budget_sample, cumsum_per_group
+
+
+def _rand_frame(rng, n, n_groups):
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, n_groups, n),
+            "o": rng.permutation(n),  # unique order key
+            "v": rng.integers(-5, 50, n),
+        }
+    )
+
+
+def _pandas_running(df):
+    df = df.sort_values(["g", "o"]).copy()
+    df["running"] = df.groupby("g")["v"].cumsum()
+    return df.sort_values(["g", "o"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n_groups,parts", [(3, 7), (40, 4), (1, 5)])
+def test_cumsum_matches_pandas(n_groups, parts):
+    """Few huge groups (spanning many blocks), many small groups, and
+    ONE group crossing every block — the case map_groups can't scale."""
+    rng = np.random.default_rng(n_groups * 100 + parts)
+    df = _rand_frame(rng, 400, n_groups)
+    ds = rd.from_pandas(df).repartition(parts)
+    out = (
+        cumsum_per_group(ds, ["g"], ["o"], "v", "running")
+        .to_pandas()
+        .sort_values(["g", "o"])
+        .reset_index(drop=True)
+    )
+    exp = _pandas_running(df)
+    pd.testing.assert_frame_equal(
+        out[["g", "o", "v", "running"]].astype("int64"),
+        exp[["g", "o", "v", "running"]].astype("int64"),
+    )
+
+
+def test_cumsum_string_groups_and_timestamp_order():
+    rng = np.random.default_rng(9)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["en", "de", "fr"], n),
+            "ts": pd.to_datetime(rng.permutation(n), unit="s"),
+            "id": np.arange(n),
+            "v": rng.integers(0, 10, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    out = (
+        cumsum_per_group(ds, ["lang"], ["ts", "id"], "v", "run")
+        .to_pandas()
+        .sort_values(["lang", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["lang", "ts"]).copy()
+    exp["run"] = exp.groupby("lang")["v"].cumsum()
+    assert out["run"].tolist() == exp["run"].tolist()
+
+
+def test_cumsum_empty_input():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([], type=pa.int64()),
+                "o": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    out = cumsum_per_group(ds, ["g"], ["o"], "v")
+    assert out.count() == 0
+    assert "running" in out.schema().names
+
+
+def test_budget_sample_scalar_and_dict():
+    rng = np.random.default_rng(4)
+    df = _rand_frame(rng, 300, 4)
+    df["v"] = np.abs(df["v"]) + 1  # positive weights
+    ds = rd.from_pandas(df).repartition(5)
+
+    exp = _pandas_running(df)
+    scal = budget_sample(ds, ["g"], ["o"], "v", 100).to_pandas()
+    want = exp[exp["running"] <= 100]
+    assert sorted(scal["o"]) == sorted(want["o"])
+
+    budgets = {0: 50, 1: 200, 2: 0, 3: 120}
+    got = budget_sample(ds, ["g"], ["o"], "v", budgets).to_pandas()
+    want2 = exp[exp["running"] <= exp["g"].map(budgets)]
+    assert sorted(got["o"]) == sorted(want2["o"])
+    assert not (got["g"] == 2).any()  # zero budget keeps nothing
+
+
+def test_budget_sample_deterministic_across_partitioning():
+    rng = np.random.default_rng(12)
+    df = _rand_frame(rng, 250, 3)
+    df["v"] = np.abs(df["v"]) + 1
+    a = budget_sample(
+        rd.from_pandas(df).repartition(2), ["g"], ["o"], "v", 150
+    ).to_pandas()
+    b = budget_sample(
+        rd.from_pandas(df).repartition(11), ["g"], ["o"], "v", 150
+    ).to_pandas()
+    assert sorted(a["o"]) == sorted(b["o"])
