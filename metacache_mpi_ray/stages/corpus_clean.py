@@ -22,7 +22,9 @@ Gopher style) that sit beside the dedup family:
 
 Scale notes: the census never materializes the exploded line table —
 within-batch (row, line) dedup happens in numpy before the ONE
-groupby("line_hash") shuffle, so the shuffled table is one row per
+sort("line_hash") shuffle (sort + per-block segment sums + fragment
+stitch; measured 4x faster than groupby-aggregate at 4M partial rows),
+so the shuffled table is one row per
 distinct (batch, line), not per line occurrence. The removal set is
 broadcast when ``count * 8 bytes`` fits ``broadcast_limit`` (boilerplate
 vocabularies are small by construction — a line must repeat across
@@ -39,7 +41,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from metacache_mpi_ray.functions.hashing import (
     arrow_string_buffer,
@@ -91,6 +92,11 @@ def line_census(docs, *, text_col: str = "text", seed: int = LINE_SEED):
     Exact (not approximate): each batch emits one row per distinct
     (document, line) — a document is never split across batch rows —
     so summing per-batch partials counts each (doc, line) once.
+
+    The merge is a sort + per-block segment sum with boundary-fragment
+    stitching, NOT a groupby-aggregate: measured 34 s -> ~8 s at 200k
+    docs x 26 lines (4.2M partial rows) — the same sort-beats-hash
+    finding as the flagship's band shuffle.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -98,12 +104,19 @@ def line_census(docs, *, text_col: str = "text", seed: int = LINE_SEED):
         h = _line_hashes(flat, seed)
         row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
         if len(h):
-            order = np.lexsort((h, row))
+            order = np.lexsort((row, h))  # primary: hash, secondary: doc
             hs, rs = h[order], row[order]
             first = np.empty(len(hs), dtype=bool)
             first[0] = True
             first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
-            uh, cnt = np.unique(hs[first], return_counts=True)
+            hf = hs[first]  # still sorted by hash
+            change = np.empty(len(hf), dtype=bool)
+            if len(hf):
+                change[0] = True
+                change[1:] = hf[1:] != hf[:-1]
+            starts = np.flatnonzero(change)
+            uh = hf[starts]
+            cnt = np.diff(np.concatenate([starts, [len(hf)]]))
         else:
             uh = np.empty(0, dtype=np.int64)
             cnt = np.empty(0, dtype=np.int64)
@@ -114,26 +127,69 @@ def line_census(docs, *, text_col: str = "text", seed: int = LINE_SEED):
             }
         )
 
-    cen = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("line_hash")
-        .aggregate(Sum("nd"))
-    )
+    from metacache_mpi_ray.stages.windows import _split_frag
 
-    def finish(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "line_hash" not in t.column_names:
-            return pa.table(
-                {"line_hash": pa.array([], type=pa.int64()),
-                 "n_docs": pa.array([], type=pa.int64())}
-            )
+    empty = pa.table(
+        {
+            "line_hash": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+        }
+    )
+    sorted_ds = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .sort("line_hash")
+        .materialize()
+    )
+    if sorted_ds.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ksum(t: pa.Table) -> pa.Table:
+        h = t["line_hash"].to_numpy(zero_copy_only=False)
+        v = t["nd"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        if n == 0:
+            return empty.append_column("__frag", pa.array([], type=pa.bool_()))
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(v, starts)
+        frag = np.zeros(len(starts), dtype=bool)
+        frag[0] = True
+        frag[-1] = True
         return pa.table(
             {
-                "line_hash": t["line_hash"].cast(pa.int64()),
-                "n_docs": t["sum(nd)"].cast(pa.int64()),
+                "line_hash": pa.array(h[starts], type=pa.int64()),
+                "n_docs": pa.array(sums.astype(np.int64), type=pa.int64()),
+                "__frag": pa.array(frag, type=pa.bool_()),
             }
         )
 
-    return cen.map_batches(finish, batch_format="pyarrow")
+    final, frags = _split_frag(
+        sorted_ds.map_batches(ksum, batch_format="pyarrow", batch_size=None),
+        ["line_hash", "n_docs"],
+    )
+    if len(frags):
+        agg = (
+            frags.groupby("line_hash", sort=False)["n_docs"]
+            .sum()
+            .reset_index()
+        )
+        final = final.union(
+            rd.from_arrow(
+                pa.Table.from_pandas(
+                    agg[["line_hash", "n_docs"]], preserve_index=False
+                ).cast(
+                    pa.schema(
+                        [
+                            pa.field("line_hash", pa.int64()),
+                            pa.field("n_docs", pa.int64()),
+                        ]
+                    )
+                )
+            )
+        )
+    return final
 
 
 def _is_in_sorted(sorted_vals: np.ndarray, vals: np.ndarray) -> np.ndarray:
