@@ -59,3 +59,36 @@ def ensure_columns(df, columns: list[str]):
     if all(c in df.columns for c in columns):
         return df
     return df.reindex(columns=columns)
+
+
+def assemble_sorted_i64(mat, col: str):
+    """ObjectRef to the sorted int64 numpy array of ``col`` over a
+    MATERIALIZED dataset, assembled in ONE off-driver task from the
+    block refs — the values never cross the driver heap. The shared
+    broadcast-set builder for the boilerplate / decontamination /
+    verify families."""
+    import numpy as np
+
+    import ray
+
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not refs:
+        return ray.put(np.empty(0, dtype=np.int64))
+
+    @ray.remote
+    def _assemble(*tabs):
+        parts = [
+            t[col].to_numpy(zero_copy_only=False) for t in tabs if len(t)
+        ]
+        return (
+            np.sort(np.concatenate(parts).astype(np.int64))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+
+    return _assemble.remote(*refs)

@@ -68,6 +68,10 @@ def _split_lines(col):
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # null text -> "" (one empty line), matching the repo-wide
+    # null-hashes-as-empty convention; without this the null list's
+    # NaN length wraps to INT64_MIN and np.repeat crashes
+    col = pc.fill_null(col, "")
     lst = pc.split_pattern(col, "\n")
     flat = pc.list_flatten(lst)
     if isinstance(flat, pa.ChunkedArray):
@@ -224,6 +228,10 @@ def remove_boilerplate_lines(
     hot table and reassembles with a sort + segment kernel; 'auto'
     picks by removal-set size (count x 8 bytes vs ``broadcast_limit``).
     """
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'join', got {strategy!r}"
+        )
     hot_raw = line_census(docs, text_col=text_col, seed=seed).filter(
         expr=f"n_docs >= {int(min_docs)}"
     )
@@ -262,24 +270,9 @@ def remove_boilerplate_lines(
     if strategy == "broadcast" or (
         strategy == "auto" and n_hot * 8 <= broadcast_limit
     ):
-        refs = hot_mat.to_arrow_refs()
+        from metacache_mpi_ray.functions.blocks import assemble_sorted_i64
 
-        @ray.remote
-        def _assemble(*tabs):
-            parts = [
-                t["line_hash"].to_numpy(zero_copy_only=False)
-                for t in tabs
-                if len(t)
-            ]
-            return (
-                np.sort(np.concatenate(parts).astype(np.int64))
-                if parts
-                else np.empty(0, dtype=np.int64)
-            )
-
-        hot_ref = (
-            _assemble.remote(*refs) if refs else ray.put(np.empty(0, np.int64))
-        )
+        hot_ref = assemble_sorted_i64(hot_mat, "line_hash")
 
         def clean(t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -92,6 +92,9 @@ def _batch_grams(t: pa.Table, text_col: str, n: int, seed: int):
     col = t[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # null text -> "" (zero tokens, zero grams); without this the null
+    # list's NaN length wraps to INT64_MIN and the gram count explodes
+    col = pc.fill_null(col, "")
     toks = pc.utf8_split_whitespace(col)
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
@@ -159,7 +162,24 @@ def decontaminate(
     """
     if mode not in ("flag", "filter"):
         raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
-    from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'join', got {strategy!r}"
+        )
+    from metacache_mpi_ray.functions.blocks import (
+        assemble_sorted_i64,
+        drop_empty_blocks,
+    )
+
+    def zero_flags(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "n_hits": pa.array(z, type=pa.int64()),
+                "is_contaminated": pa.array(z, type=pa.int64()),
+            }
+        )
 
     bg = benchmark_grams(bench, n=n, text_col=text_col, seed=seed)
     n_grams = bg.count()
@@ -169,34 +189,12 @@ def decontaminate(
         # side would crash the Ray 2.49 hash join)
         if mode == "filter":
             return docs
-
-        def all_clean(t: pa.Table) -> pa.Table:
-            z = np.zeros(len(t), dtype=np.int64)
-            return pa.table(
-                {
-                    "doc_id": t[id_col].cast(pa.int64()),
-                    "n_hits": pa.array(z, type=pa.int64()),
-                    "is_contaminated": pa.array(z, type=pa.int64()),
-                }
-            )
-
-        return docs.map_batches(all_clean, batch_format="pyarrow")
+        return docs.map_batches(zero_flags, batch_format="pyarrow")
 
     if strategy == "broadcast" or (
         strategy == "auto" and n_grams * 8 <= broadcast_limit
     ):
-        refs = bg.to_arrow_refs()
-
-        @ray.remote
-        def _assemble(*tabs):
-            parts = [t["g"].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
-            return (
-                np.sort(np.concatenate(parts).astype(np.int64))
-                if parts
-                else np.empty(0, dtype=np.int64)
-            )
-
-        gram_ref = _assemble.remote(*refs)
+        gram_ref = assemble_sorted_i64(bg.materialize(), "g")
 
         def score(t: pa.Table) -> pa.Table:
             h, row = _batch_grams(t, text_col, n, seed)
@@ -266,25 +264,23 @@ def decontaminate(
         # grams existed but none matched: every doc is clean
         if mode == "filter":
             return docs
-
-        def none_hit(t: pa.Table) -> pa.Table:
-            z = np.zeros(len(t), dtype=np.int64)
-            return pa.table(
-                {
-                    "doc_id": t[id_col].cast(pa.int64()),
-                    "n_hits": pa.array(z, type=pa.int64()),
-                    "is_contaminated": pa.array(z, type=pa.int64()),
-                }
-            )
-
-        return docs.map_batches(none_hit, batch_format="pyarrow")
+        return docs.map_batches(zero_flags, batch_format="pyarrow")
 
     if mode == "filter":
-        base = docs
+        # flagged's key column is named 'doc_id' but holds id_col
+        # values; rename so the join keys on the caller's id column
+        flagged_keyed = (
+            flagged
+            if id_col == "doc_id"
+            else flagged.map_batches(
+                lambda t: t.rename_columns([id_col, "n_hits"]),
+                batch_format="pyarrow",
+            )
+        )
         joined = large_join(
-            base,
-            flagged,
-            on=("doc_id",),
+            docs,
+            flagged_keyed,
+            on=(id_col,),
             join_type="left_outer",
             num_partitions=num_partitions,
         )

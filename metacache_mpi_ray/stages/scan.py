@@ -27,10 +27,12 @@ deterministic hash order until a per-group weight budget is exhausted
 (the "sample N tokens per language" operation of training-data
 pipelines).
 
-Constraints (documented, asserted): ``order_cols`` must be
-int64-coercible (ints / timestamps) and unique per row within a group
-(pass an id column as tiebreaker); ``value_col`` must be integral so
-running sums are exact and order-independent.
+Constraints: ``order_cols`` must be int64-coercible (ints /
+timestamps) and unique per row within a group (pass an id column as
+tiebreaker) — a violation that spans a block boundary (the one case
+that would silently corrupt carries) is detected and raises;
+``value_col`` must be integral so running sums are exact and
+order-independent.
 """
 
 from __future__ import annotations
@@ -97,6 +99,13 @@ def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, lens
 
 
+def _starts_order_hash(t: pa.Table, order_cols, starts: np.ndarray) -> np.ndarray:
+    """Order-key hash of just the segment-start rows — hashing the full
+    columns would do O(rows) work for O(#segments) consumed values."""
+    head = t.select(list(order_cols)).take(pa.array(starts, type=pa.int64()))
+    return _row_hash(head, list(order_cols))
+
+
 def _frag_table(t: pa.Table, group_cols, order_cols, value_col):
     """Per-(block, group) fragment summary: one row per group segment."""
     g = _row_hash(t, group_cols)
@@ -104,7 +113,7 @@ def _frag_table(t: pa.Table, group_cols, order_cols, value_col):
     v = _col_i64(t, value_col)
     cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
     frag_sum = cs[starts + lens] - cs[starts]
-    segkey = mix2(g[starts], _row_hash(t, order_cols)[starts])
+    segkey = mix2(g[starts], _starts_order_hash(t, order_cols, starts))
     cols = {
         "ghash": pa.array(g[starts].view(np.int64), type=pa.int64()),
         "segkey": pa.array(segkey.view(np.int64), type=pa.int64()),
@@ -113,6 +122,35 @@ def _frag_table(t: pa.Table, group_cols, order_cols, value_col):
     for j, c in enumerate(order_cols):
         cols[f"o{j}"] = pa.array(_col_i64(t, c)[starts], type=pa.int64())
     return pa.table(cols)
+
+
+def _fragment_carries(tabs, n_order: int):
+    """Order fragment rows by (group, first order key) and prefix-sum
+    them into an exclusive carry per fragment, returned as
+    (sorted segkeys, carries) for searchsorted lookup in pass 2."""
+    t = pa.concat_tables(tabs)
+    gh = t["ghash"].to_numpy(zero_copy_only=False)
+    fs = t["frag_sum"].to_numpy(zero_copy_only=False)
+    ords = [t[f"o{j}"].to_numpy(zero_copy_only=False) for j in range(n_order)]
+    order = np.lexsort(tuple(reversed(ords)) + (gh,))
+    gh_s, fs_s = gh[order], fs[order]
+    # exclusive prefix within each group run
+    starts, lens = _segments(gh_s)
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(fs_s)])[:-1]
+    carry = cs - np.repeat(cs[starts], lens)
+    segkey = t["segkey"].to_numpy(zero_copy_only=False)[order]
+    ksort = np.argsort(segkey)
+    sk = segkey[ksort]
+    # a duplicate segkey means two fragments share (group, first order
+    # key) — the unique-(group, order) contract is violated in the one
+    # way that silently corrupts carries; fail loud
+    if len(sk) > 1 and (sk[1:] == sk[:-1]).any():
+        raise ValueError(
+            "cumsum_per_group: duplicate (group, order) rows span a "
+            "block boundary; order_cols must be unique per row "
+            "within a group (add an id column as tiebreaker)"
+        )
+    return sk, carry[ksort]
 
 
 def cumsum_per_group(
@@ -135,7 +173,9 @@ def cumsum_per_group(
         if meta.num_rows
     ]
     if not refs:
-        base = ds.schema()
+        from metacache_mpi_ray.stages.windows import _sorted_schema
+
+        base = _sorted_schema(ds, sorted_ds)
         fields = list(zip(base.names, base.types)) + [(out_col, pa.int64())]
         return rd.from_arrow(pa.schema(fields).empty_table())
 
@@ -145,21 +185,7 @@ def cumsum_per_group(
 
     @ray.remote
     def carries(*tabs):
-        t = pa.concat_tables(tabs)
-        gh = t["ghash"].to_numpy(zero_copy_only=False)
-        fs = t["frag_sum"].to_numpy(zero_copy_only=False)
-        ords = [
-            t[f"o{j}"].to_numpy(zero_copy_only=False) for j in range(n_order)
-        ]
-        order = np.lexsort(tuple(reversed(ords)) + (gh,))
-        gh_s, fs_s = gh[order], fs[order]
-        # exclusive prefix within each group run
-        starts, lens = _segments(gh_s)
-        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(fs_s)])[:-1]
-        carry = cs - np.repeat(cs[starts], lens)
-        segkey = t["segkey"].to_numpy(zero_copy_only=False)[order]
-        ksort = np.argsort(segkey)
-        return segkey[ksort], carry[ksort]
+        return _fragment_carries(tabs, n_order)
 
     carry_ref = carries.remote(*[frag.remote(r) for r in refs])
 
@@ -173,7 +199,7 @@ def cumsum_per_group(
         cs = np.cumsum(v)
         base = np.concatenate([np.zeros(1, np.int64), cs])[starts]
         local = cs - np.repeat(base, lens)
-        segkey = mix2(g[starts], _row_hash(block, order_cols)[starts]).view(
+        segkey = mix2(g[starts], _starts_order_hash(block, order_cols, starts)).view(
             np.int64
         )
         pos = np.searchsorted(keys, segkey)
@@ -206,21 +232,26 @@ def budget_sample(
     if np.isscalar(budgets):
         lim = int(budgets)
         return run.filter(expr=f"{out_col} <= {lim}")
-    items = [
+    import pandas as pd
+
+    rows = [
         ((k,) if not isinstance(k, tuple) else k, int(v))
         for k, v in budgets.items()
     ]
-    bref = ray.put(items)
+    bdf = pd.DataFrame([k for k, _ in rows], columns=list(group_cols))
+    bdf["__lim"] = [v for _, v in rows]
+    bref = ray.put(bdf)
 
     def pick(t: pa.Table) -> pa.Table:
-        pairs = ray.get(bref)
-        lim = np.zeros(len(t), dtype=np.int64)  # unknown groups: budget 0
-        cols = [t[c].to_pandas() for c in group_cols]
-        for key, v in pairs:
-            m = np.ones(len(t), dtype=bool)
-            for c, kv in zip(cols, key):
-                m &= (c == kv).to_numpy()
-            lim[m] = v
+        # ONE vectorized left merge group->budget per batch (unknown
+        # groups: budget 0), not a full-column pass per budget key
+        left = t.select(list(group_cols)).to_pandas()
+        lim = (
+            left.merge(ray.get(bref), on=list(group_cols), how="left")["__lim"]
+            .fillna(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
         r = t[out_col].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(r <= lim))
 

@@ -4,6 +4,8 @@ within-doc repetition stats vs a pandas reference."""
 
 import re
 
+import pytest
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -167,3 +169,53 @@ def test_clean_corpus_composition():
     assert (out["n_removed"] == 2).all()
     assert (out["n_emails"] == 1).all()
     assert out.loc[5, "clean_text"] == "body 5 <EMAIL>"
+
+
+def test_null_text_rows_survive_cleaning():
+    """Null text hashes as empty (one empty line), not a NaN->INT64_MIN
+    np.repeat crash (regression)."""
+    from metacache_mpi_ray.stages.corpus_clean import (
+        remove_boilerplate_lines,
+        repetition_stats_batch,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["hot\nkeep me", None, "hot\nother"]),
+            }
+        )
+    )
+    out = (
+        remove_boilerplate_lines(docs, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "keep me"
+    assert out.loc[1, "n_removed"] == 0
+    rep = repetition_stats_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([None], type=pa.string()),
+            }
+        )
+    )
+    assert rep["n_dup_lines"].to_pylist() == [0]
+
+
+def test_bad_strategy_raises():
+    from metacache_mpi_ray.stages.corpus_clean import remove_boilerplate_lines
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array(["a"]),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        remove_boilerplate_lines(docs, strategy="brodcast")

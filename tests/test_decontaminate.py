@@ -156,3 +156,56 @@ def test_auto_picks_broadcast_and_matches_join():
         zip(d["doc_id"].astype(int), d["n_hits"].astype(int))
     )
     assert key(a) == key(b)
+
+
+def test_null_text_rows_are_clean_not_crash():
+    """A null text value must hash as empty (zero grams), not wrap the
+    NaN list length to INT64_MIN (regression: multi-exabyte np.repeat)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["the exam answer is here today", None, "x"]),
+        }
+    )
+    docs = rd.from_arrow(t)
+    bench = rd.from_arrow(
+        pa.table({"text": pa.array(["leak: the exam answer is here now"])})
+    )
+    out = decontaminate(docs, bench, n=5).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_hits"] == 0 and out.loc[0, "n_hits"] > 0
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_filter_mode_honors_custom_id_col(strategy):
+    """filter mode must key the clean-doc join on id_col, not a
+    hardcoded 'doc_id' (regression: contaminated docs silently kept,
+    or a crash, when the id column has another name)."""
+    texts = [
+        "clean page about cooking rice slowly",
+        "the exam answer is here today",
+        "another clean doc with plain words",
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "uid": pa.array([10, 11, 12], type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(2)
+    bench = rd.from_arrow(
+        pa.table({"text": pa.array(["leak: the exam answer is here now"])})
+    )
+    kept = decontaminate(
+        docs, bench, n=5, mode="filter", strategy=strategy,
+        id_col="uid", num_partitions=2,
+    ).to_pandas()
+    assert sorted(kept["uid"].astype(int)) == [10, 12]
+    assert sorted(kept.columns) == ["text", "uid"]
+
+
+def test_bad_strategy_raises():
+    docs = _mk_docs(["a b c"])
+    bench = rd.from_arrow(pa.table({"text": pa.array(["a b c"])}))
+    with pytest.raises(ValueError, match="strategy"):
+        decontaminate(docs, bench, strategy="Broadcast")

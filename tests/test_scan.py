@@ -113,3 +113,27 @@ def test_budget_sample_deterministic_across_partitioning():
         rd.from_pandas(df).repartition(11), ["g"], ["o"], "v", 150
     ).to_pandas()
     assert sorted(a["o"]) == sorted(b["o"])
+
+
+def test_duplicate_group_order_across_blocks_raises():
+    """Duplicate (group, order) rows spanning a block boundary would
+    silently corrupt carries; the carry builder must fail loud. (Ray's
+    range sort keeps equal keys in one block at test scale, so the
+    guard is exercised on synthetic fragment tables directly.)"""
+    from metacache_mpi_ray.stages.scan import _frag_table, _fragment_carries
+
+    block = pa.table(
+        {"g": pa.array([0] * 10, type=pa.int64()),
+         "o": pa.array([5] * 10, type=pa.int64()),
+         "v": pa.array([1] * 10, type=pa.int64())}
+    )
+    f1 = _frag_table(block, ["g"], ["o"], "v")
+    f2 = _frag_table(block, ["g"], ["o"], "v")  # same (group, first order)
+    with pytest.raises(ValueError, match="unique per row"):
+        _fragment_carries([f1, f2], 1)
+    # distinct first order keys are fine
+    block2 = block.set_column(1, "o", pa.array([6] * 10, type=pa.int64()))
+    keys, carry = _fragment_carries(
+        [f1, _frag_table(block2, ["g"], ["o"], "v")], 1
+    )
+    assert sorted(carry.tolist()) == [0, 10]
