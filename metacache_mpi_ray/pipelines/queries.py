@@ -126,6 +126,24 @@ def q_quality_scores(sf_dir: str):
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def q_vocab_census(sf_dir: str):
+    """Exact corpus vocabulary census (term frequency + document
+    frequency) — the feature census (A8, sketch_database.h:1060-1075)
+    at token granularity; df is what IDF weighting needs."""
+    from metacache_mpi_ray.stages.vocab import vocab_census
+
+    ds = _documents(sf_dir, columns=["text"])
+    return vocab_census(ds)
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus heavy hitters: top-50 terms by occurrence count."""
+    from metacache_mpi_ray.stages.vocab import top_terms
+
+    ds = _documents(sf_dir, columns=["text"])
+    return top_terms(ds, 50)
+
+
 def q_token_count_stats(sf_dir: str):
     """Aggregate of a per-row transform (map -> partial agg -> final)."""
     ds = _documents(sf_dir, columns=["doc_id", "text"])
@@ -1243,6 +1261,87 @@ def _planted_embeddings(sf_dir: str, d: int = 8):
     return ids_ds.map_batches(build, batch_format="pyarrow")
 
 
+def _planted_group_embeddings(sf_dir: str, n_groups: int = 24, d: int = 8):
+    """Planted SemDeDup corpus over the embeddings vec_id universe:
+    every vec_id in group g = vec_id % n_groups carries the IDENTICAL
+    vector (weight 10 at dim g % d, noise (g + j) % 3 elsewhere), so
+    within-group cosine is exactly 1 while the max cross-group cosine
+    measures 0.956 — a 0.99 threshold separates them with margin and
+    the true cluster structure is closed-form in SQL."""
+    ids_ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ids % n_groups
+        mat = ((g[:, None] + np.arange(d)[None, :]) % 3).astype(np.float64)
+        mat[np.arange(len(ids)), g % d] = 10.0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), type=pa.float64()), d
+                ),
+            }
+        )
+
+    return ids_ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_kmeans_assign_planted(sf_dir: str):
+    """Nearest-centroid assignment with an exact oracle: integer
+    planted vectors + fixed integer centroids (100 at dim c, 1
+    elsewhere) under squared-L2 — every distance is integer-exact in
+    float64 on both engines, ties (none here) break to the lowest
+    cell."""
+    from metacache_mpi_ray.stages.kmeans import kmeans_assign
+
+    d = 8
+    emb = _planted_embeddings(sf_dir, d=d)
+    cent = np.ones((d, d), dtype=np.float64)
+    np.fill_diagonal(cent, 100.0)
+    return kmeans_assign(emb, cent, metric="l2")
+
+
+def q_semantic_dedup_planted(sf_dir: str):
+    """SemDeDup end-to-end (k-means fit -> within-cell capped pairs ->
+    exact-cosine verify -> union-find) on the planted group corpus:
+    identical vectors always share a cell, so the output clusters must
+    equal the planted groups — closed-form in SQL."""
+    from metacache_mpi_ray.stages.kmeans import semantic_dedup
+
+    emb = _planted_group_embeddings(sf_dir)
+    return semantic_dedup(
+        emb, n_cells=4, sim_threshold=0.99, iters=5, seed=3, cap=4096
+    )
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the real embeddings table (rows-only: float
+    k-means has no SQL twin; the planted variant is the oracle)."""
+    from metacache_mpi_ray.stages.kmeans import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, n_cells=8, sim_threshold=0.97, iters=5, seed=3)
+
+
+def q_kmeans_cells(sf_dir: str):
+    """k-means cell-size census over the real embeddings table (the
+    semantic index's bucket-size stats; rows-only)."""
+    from metacache_mpi_ray.stages.kmeans import (
+        cell_histogram,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(emb, 8, iters=5, seed=3)
+    return cell_histogram(kmeans_assign(emb, cent))
+
+
 def q_ivf_topk_planted(sf_dir: str):
     """IVF approximate top-k with an exact oracle: planted cluster
     structure (8 well-separated directions) and nprobe = n_cells make
@@ -1692,6 +1791,8 @@ QUERIES = {
     "docs_budget_sample": q_docs_budget_sample,
     "substring_candidates_planted": q_substring_candidates_planted,
     "sample_docs_hashed": q_sample_docs_hashed,
+    "kmeans_assign_planted": q_kmeans_assign_planted,
+    "semantic_dedup_planted": q_semantic_dedup_planted,
     "ivf_topk_planted": q_ivf_topk_planted,
     "band_census_planted": q_band_census_planted,
     "bucket_moments_planted": q_bucket_moments_planted,
@@ -1707,6 +1808,8 @@ QUERIES = {
     "substring_candidates": q_substring_candidates,
     "substring_spans": q_substring_spans,
     "ivf_topk": q_ivf_topk,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_cells": q_kmeans_cells,
     "minhash_signatures": q_minhash_signatures,
     # -- operator coverage (oracle-checked) --
     "distinct_docs": q_distinct_docs,
@@ -1717,6 +1820,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "bpe_token_counts": q_bpe_token_counts,
     "quality_scores": q_quality_scores,
+    "vocab_census": q_vocab_census,
+    "top_terms": q_top_terms,
     "token_count_stats": q_token_count_stats,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "events_window_agg": q_events_window_agg,
@@ -1920,6 +2025,30 @@ ORACLE_SQL = {
         "CAST(w.run AS BIGINT) AS running_chars "
         "FROM w JOIN b USING (lang) WHERE w.run <= b.budget"
     ),
+    "kmeans_assign_planted": (
+        # full SQL argmin over squared-L2 distances: planted element
+        # e_j = 100 at dim (vec_id % 8) else (vec_id + j) % 3; centroid
+        # c has 100 at dim c, 1 elsewhere — all-integer arithmetic, so
+        # float64 distances are exact on both engines
+        "WITH el AS (SELECT vec_id, d.j, "
+        "  CASE WHEN d.j = vec_id % 8 THEN 100 ELSE (vec_id + d.j) % 3 END AS e "
+        "  FROM embeddings, range(0, 8) d(j)), "
+        "dist AS (SELECT vec_id, c.c, "
+        "  sum((e - CASE WHEN j = c.c THEN 100 ELSE 1 END) "
+        "    * (e - CASE WHEN j = c.c THEN 100 ELSE 1 END)) AS d2 "
+        "  FROM el, range(0, 8) c(c) GROUP BY vec_id, c.c), "
+        "r AS (SELECT vec_id, c, "
+        "  row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+        "  FROM dist) "
+        "SELECT vec_id, CAST(c AS BIGINT) AS cell FROM r WHERE rn = 1"
+    ),
+    "semantic_dedup_planted": (
+        "WITH g AS (SELECT vec_id, vec_id % 24 AS grp FROM embeddings), "
+        "s AS (SELECT grp, min(vec_id) AS mn, count(*) AS cnt "
+        "  FROM g GROUP BY grp) "
+        "SELECT g.vec_id, s.mn AS cluster_id, s.cnt > 1 AS is_dup "
+        "FROM g JOIN s USING (grp)"
+    ),
     "decontaminate_planted": _decontaminate_oracle(),
     "decontaminate_join": _decontaminate_oracle(),
     "boilerplate_removed_planted": _boilerplate_oracle(),
@@ -1970,6 +2099,20 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(length(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "vocab_census": (
+        "WITH toks AS (SELECT doc_id, unnest("
+        "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+        ") AS term FROM documents) "
+        "SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df "
+        "FROM toks WHERE term != '' GROUP BY term"
+    ),
+    "top_terms": (
+        "WITH toks AS (SELECT unnest("
+        "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+        ") AS term FROM documents) "
+        "SELECT term, count(*) AS tf FROM toks WHERE term != '' "
+        "GROUP BY term ORDER BY tf DESC, term LIMIT 50"
     ),
     "quality_scores": (
         "SELECT doc_id, length(text) AS n_chars_text, "
