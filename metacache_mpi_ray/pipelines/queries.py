@@ -1389,6 +1389,49 @@ def q_sample_docs_hashed(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_unseen_docs(sf_dir: str):
+    """Crawl-frontier membership: which keys of an incoming batch are
+    NOT already in the corpus (anti-join semantics), answered through
+    a sharded Bloom filter that prunes the definitely-new rows before
+    an exact verify bounded by the positives (stages/bloom.py). The
+    new batch is SQL-reproducible from the doc_id universe: every
+    doc_id % 3 == 0 re-arrives (seen), every % 3 == 1 arrives with a
+    fresh key doc_id + PLANT_OFF (unseen)."""
+    from metacache_mpi_ray.stages.bloom import filter_unseen
+
+    corpus = _documents(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def build_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": np.concatenate(
+                    [ids[ids % 3 == 0], ids[ids % 3 == 1] + PLANT_OFF]
+                )
+            }
+        )
+
+    new = _documents(sf_dir, columns=["doc_id"]).map_batches(
+        build_new, batch_format="pyarrow"
+    )
+    n = _documents(sf_dir, columns=["doc_id"]).count()
+    return filter_unseen(new, corpus, "key", n_expected=max(1, n), fpp=0.001)
+
+
+def q_chunked_docs(sf_dir: str):
+    """Fixed-token-window chunking (training context-window shaping;
+    for_each_window analog, /root/reference/src/dna_encoding.h:261-289):
+    1→N vectorized flat-map, chunk lists rebuilt zero-copy from the
+    token ListArray's offset buffer (stages/chunking.py)."""
+    from metacache_mpi_ray.stages.chunking import chunk_documents
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=50)
+
+
 def q_rank_merge_planted(sf_dir: str):
     """Rank-aware candidate merge + bounded insert + threshold classify
     (candidates.h:90-102,191-289 / classification.cpp:227-262) over a
@@ -1791,6 +1834,8 @@ QUERIES = {
     "docs_budget_sample": q_docs_budget_sample,
     "substring_candidates_planted": q_substring_candidates_planted,
     "sample_docs_hashed": q_sample_docs_hashed,
+    "unseen_docs": q_unseen_docs,
+    "chunked_docs": q_chunked_docs,
     "kmeans_assign_planted": q_kmeans_assign_planted,
     "semantic_dedup_planted": q_semantic_dedup_planted,
     "ivf_topk_planted": q_ivf_topk_planted,
@@ -2247,6 +2292,27 @@ ORACLE_SQL = {
     "sample_docs_hashed": (
         "SELECT doc_id, n_chars FROM documents "
         "WHERE (doc_id * 2654435761) % 4294967296 < 429496730"
+    ),
+    "unseen_docs": (
+        "WITH newb AS ("
+        "  SELECT doc_id AS key FROM documents WHERE doc_id % 3 = 0"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000000 AS key FROM documents "
+        "  WHERE doc_id % 3 = 1) "
+        "SELECT n.key FROM newb n "
+        "LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d "
+        "ON n.key = d.doc_id WHERE d.doc_id IS NULL"
+    ),
+    "chunked_docs": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, toks, "
+        "  UNNEST(range(GREATEST(CAST(ceil(len(toks) / 50.0) AS BIGINT), 1)))"
+        "  AS chunk_idx FROM t) "
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        "CAST(LEAST(50, len(toks) - chunk_idx * 50) AS BIGINT) AS n_tokens, "
+        "array_to_string(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50], ' ') "
+        "AS chunk FROM c"
     ),
     "rank_merge_planted": (
         # planted hierarchy: lang nodes 101+, (lang, source) nodes 1001+

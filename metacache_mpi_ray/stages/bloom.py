@@ -1,0 +1,269 @@
+"""Sharded Bloom filter: crawl-frontier membership at web scale.
+
+The reference's only membership structure is the feature multimap
+itself (exact probe, /root/reference/src/sketch_database.h:804-833);
+the web-crawl analog a 10^12-document pipeline needs is "has this
+url / content hash been ingested before?" answered WITHOUT shuffling
+the whole corpus against every incoming batch.
+
+Design (scale notes):
+
+- **Build is one key shuffle, never a bitmap shuffle.** Keys hash to
+  ``(h1, h2)`` u64 pairs inside ``map_batches`` (zero-copy from Arrow
+  buffers for string keys); rows of 20 bytes are hash-partitioned by
+  shard and each shard group sets its own ``m/n_shards``-bit slice
+  with one vectorized scatter. Shipping per-block partial bitmaps
+  instead would move ``#blocks x m/8`` bytes — at m = 10^10 bits that
+  is the difference between a few GB of key rows and terabytes.
+- **Probe is broadcast + vectorized bit tests.** The assembled filter
+  (one ``(n_shards, m_shard/64)`` u64 matrix) is ``ray.put`` once and
+  every probe batch tests k double-hashed positions
+  (Kirsch–Mitzenmacher, public technique) with numpy gathers.
+- **Sizing**: a Bloom filter is O(n) bits, so a single broadcastable
+  filter covers frontiers up to ~10^10 keys on 128 GiB nodes
+  (~12 GB at fpp 1%). Beyond that the same sharded layout degrades
+  gracefully to a shard-keyed shuffle probe (each probe row routed to
+  the actor owning its shard) — the identical topology the
+  incremental band-table probe in ``pipelines/incremental.py``
+  already implements, so no new machinery is needed at that scale.
+- **Exactness**: ``filter_unseen`` uses the filter only to PRUNE. A
+  bloom negative is definitely-new; the (rare) positives are
+  exact-verified against the corpus keys with a broadcast semi-join
+  bounded by ``true_seen + fpp * |batch|`` rows, so results are exact
+  and DuckDB-oracle-checkable (anti-join semantics). ``mode="approx"``
+  skips the verify scan for callers that accept the documented fpp.
+
+Key identity convention: a key IS its 64-bit content hash, matching
+the engine's exact-dedup convention (8-byte raw-hash shuffle,
+pipelines/queries.py:_docs_raw_hashed).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from metacache_mpi_ray.functions.hashing import (
+    arrow_string_buffer,
+    doc_hashes_from_buffer,
+    mix2,
+)
+
+U64 = np.uint64
+_SHARD_MIX = 0xD6E8FEB86659FD93
+
+
+def key_hashes(t: pa.Table, col: str, seed: int = 101) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (h1, h2) u64 hash pair for ``t[col]``.
+
+    String columns hash zero-copy from the Arrow buffer; integer
+    columns through the splitmix/murmur mixer chain. h2 is forced odd
+    so the double-hash stride never degenerates to a fixed point.
+    """
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+        data, starts, ends = arrow_string_buffer(c)
+        h1 = doc_hashes_from_buffer(data, starts, ends, seed=seed)
+    else:
+        base = c.to_numpy(zero_copy_only=False).astype(np.int64).view(U64)
+        h1 = mix2(base, seed)
+    h2 = mix2(h1, seed + 0x9E37) | U64(1)
+    return h1, h2
+
+
+def bloom_params(n_expected: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k) for ``n_expected`` keys at false-positive rate ``fpp``."""
+    n = max(1, n_expected)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Assembled sharded filter; broadcast whole via ``ray.put``."""
+
+    bits: np.ndarray  # (n_shards, m_shard // 64) uint64
+    m_shard: int  # bits per shard
+    k: int
+    seed: int
+
+    @property
+    def n_shards(self) -> int:
+        return self.bits.shape[0]
+
+    def shard_of(self, h1: np.ndarray) -> np.ndarray:
+        return (mix2(h1, _SHARD_MIX) % U64(self.n_shards)).astype(np.int64)
+
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership test (no false negatives)."""
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        sh = self.shard_of(h1)
+        m = U64(self.m_shard)
+        res = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            pos = (h1 + U64(i) * h2) % m
+            word = self.bits[sh, (pos >> U64(6)).astype(np.int64)]
+            res &= (word >> (pos & U64(63))) & U64(1) == U64(1)
+        return res
+
+
+def build_bloom(
+    ds,
+    col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    n_shards: int = 16,
+    seed: int = 101,
+) -> BloomFilter:
+    """Build a sharded Bloom filter over ``ds[col]``.
+
+    One 20-byte-per-key shuffle (groupby shard), one vectorized
+    scatter per shard group; the group count is ``n_shards`` (bounded,
+    so the per-group Python dispatch cost is O(n_shards), not O(keys)).
+    """
+    m_total, k = bloom_params(n_expected, fpp)
+    m_shard = -(-m_total // n_shards)
+    m_shard = ((m_shard + 63) // 64) * 64
+    m_words = m_shard // 64
+
+    def emit(t: pa.Table) -> pa.Table:
+        h1, h2 = key_hashes(t, col, seed)
+        sh = (mix2(h1, _SHARD_MIX) % U64(n_shards)).astype(np.int32)
+        return pa.table({"shard": sh, "h1": h1, "h2": h2})
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False).view(U64)
+        h2 = g["h2"].to_numpy(zero_copy_only=False).view(U64)
+        w = np.zeros(m_words, dtype=U64)
+        m = U64(m_shard)
+        for i in range(k):
+            pos = (h1 + U64(i) * h2) % m
+            np.bitwise_or.at(
+                w, (pos >> U64(6)).astype(np.int64), U64(1) << (pos & U64(63))
+            )
+        return pa.table(
+            {
+                "shard": pa.array([int(g["shard"][0].as_py())], type=pa.int32()),
+                "bits": pa.array([w.tobytes()], type=pa.binary()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    bits = np.zeros((n_shards, m_words), dtype=U64)
+    for r in rows:
+        bits[int(r["shard"])] = np.frombuffer(r["bits"], dtype=U64)
+    return BloomFilter(bits=bits, m_shard=m_shard, k=k, seed=seed)
+
+
+def probe_bloom(ds, bloom: BloomFilter, col: str, out_col: str = "might_seen"):
+    """Append a boolean bloom-membership column (approximate: false
+    positives at the filter's fpp, never false negatives)."""
+    ref = ray.put(bloom)
+
+    def f(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        h1, h2 = key_hashes(t, col, b.seed)
+        return t.append_column(out_col, pa.array(b.might_contain(h1, h2)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_unseen(
+    new_ds,
+    corpus_ds,
+    col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    n_shards: int = 16,
+    seed: int = 101,
+    mode: str = "exact",
+    bloom: BloomFilter | None = None,
+):
+    """Rows of ``new_ds`` whose key does not appear in ``corpus_ds``.
+
+    Bloom prune -> (exact mode) verify the positives against the
+    corpus keys. The verify side ships only the positive hash set
+    (``true_seen + fpp * |new|`` u64s) as a broadcast sorted array and
+    scans the corpus key column once, so no corpus-sized structure
+    ever reaches the driver. ``mode="approx"`` returns the pruned set
+    directly: exact up to the documented fpp (a false positive drops a
+    genuinely-new row; never the reverse).
+    """
+    if bloom is None:
+        bloom = build_bloom(
+            corpus_ds, col, n_expected, fpp=fpp, n_shards=n_shards, seed=seed
+        )
+    bref = ray.put(bloom)
+
+    if mode == "approx":
+
+        def keep_neg(t: pa.Table) -> pa.Table:
+            b = ray.get(bref)
+            h1, h2 = key_hashes(t, col, b.seed)
+            return t.filter(pa.array(~b.might_contain(h1, h2)))
+
+        return new_ds.map_batches(keep_neg, batch_format="pyarrow")
+
+    # exact: collect positive h1 values (small by construction)
+    def emit_pos(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        h1, h2 = key_hashes(t, col, b.seed)
+        return pa.table({"h1": np.unique(h1[b.might_contain(h1, h2)])})
+
+    pos = np.unique(
+        np.concatenate(
+            [
+                b["h1"].to_numpy(zero_copy_only=False).view(U64)
+                for b in new_ds.map_batches(
+                    emit_pos, batch_format="pyarrow"
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.empty(0, dtype=U64)]
+        )
+    )
+    pos_ref = ray.put(pos)
+
+    def emit_found(t: pa.Table) -> pa.Table:
+        p = ray.get(pos_ref)
+        if len(p) == 0:
+            return pa.table({"h1": np.empty(0, dtype=U64)})
+        h1, _ = key_hashes(t, col, seed)
+        idx = np.searchsorted(p, h1)
+        idx[idx == len(p)] = 0
+        return pa.table({"h1": np.unique(h1[p[idx] == h1])})
+
+    found = np.unique(
+        np.concatenate(
+            [
+                b["h1"].to_numpy(zero_copy_only=False).view(U64)
+                for b in corpus_ds.map_batches(
+                    emit_found, batch_format="pyarrow"
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.empty(0, dtype=U64)]
+        )
+    )
+    found_ref = ray.put(found)
+
+    def keep_unseen(t: pa.Table) -> pa.Table:
+        f = ray.get(found_ref)
+        h1, _ = key_hashes(t, col, seed)
+        if len(f) == 0:
+            return t
+        idx = np.searchsorted(f, h1)
+        idx[idx == len(f)] = 0
+        return t.filter(pa.array(f[idx] != h1))
+
+    return new_ds.map_batches(keep_unseen, batch_format="pyarrow")

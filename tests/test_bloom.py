@@ -1,0 +1,102 @@
+"""Sharded Bloom filter: no false negatives, bounded fpp, exact
+filter_unseen vs a pandas anti-join oracle, across key dtypes and
+partition counts."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from metacache_mpi_ray.stages.bloom import (
+    BloomFilter,
+    bloom_params,
+    build_bloom,
+    filter_unseen,
+    key_hashes,
+    probe_bloom,
+)
+
+
+def _corpus_ds(n=2000, parallelism=5, as_str=False):
+    ids = np.arange(n, dtype=np.int64) * 7 + 3
+    if as_str:
+        keys = pa.array([f"http://site-{i}.example/p" for i in ids])
+    else:
+        keys = pa.array(ids, type=pa.int64())
+    return ray.data.from_arrow(pa.table({"key": keys})).repartition(parallelism)
+
+
+def test_bloom_params_monotone():
+    m1, k1 = bloom_params(1000, 0.01)
+    m2, _ = bloom_params(1000, 0.001)
+    assert m2 > m1 and 1 <= k1 <= 16
+
+
+@pytest.mark.parametrize("as_str", [False, True])
+def test_no_false_negatives_and_bounded_fpp(as_str):
+    n = 2000
+    ds = _corpus_ds(n, as_str=as_str)
+    bloom = build_bloom(ds, "key", n_expected=n, fpp=0.01, n_shards=8)
+
+    got = probe_bloom(ds, bloom, "key").to_pandas()
+    assert got["might_seen"].all()  # zero false negatives, always
+
+    # disjoint fresh keys: measured fpp within 5x of the target
+    fresh_ids = np.arange(n, dtype=np.int64) * 7 + 4  # never ≡3 mod 7
+    if as_str:
+        fresh = pa.array([f"http://other-{i}.example/p" for i in fresh_ids])
+    else:
+        fresh = pa.array(fresh_ids, type=pa.int64())
+    t = pa.table({"key": fresh})
+    h1, h2 = key_hashes(t, "key", bloom.seed)
+    rate = bloom.might_contain(h1, h2).mean()
+    assert rate < 0.05
+
+
+@pytest.mark.parametrize("mode", ["exact", "approx"])
+@pytest.mark.parametrize("parallelism", [1, 7])
+def test_filter_unseen_matches_anti_join(mode, parallelism):
+    corpus = _corpus_ds(1500, parallelism=parallelism)
+    # new batch: 300 seen + 300 fresh, interleaved
+    seen = np.arange(300, dtype=np.int64) * 7 * 5 + 3  # every 5th corpus key
+    fresh = np.arange(300, dtype=np.int64) * 7 + 5
+    keys = np.empty(600, dtype=np.int64)
+    keys[0::2], keys[1::2] = seen, fresh
+    new = ray.data.from_arrow(
+        pa.table({"key": keys, "payload": np.arange(600)})
+    ).repartition(parallelism)
+
+    out = filter_unseen(
+        new, corpus, "key", n_expected=1500, fpp=0.001, mode=mode
+    ).to_pandas()
+    expect = np.sort(fresh)
+    if mode == "exact":
+        assert np.array_equal(np.sort(out["key"].to_numpy()), expect)
+    else:
+        # approx may drop a fresh key at the fpp, never pass a seen one
+        got = np.sort(out["key"].to_numpy())
+        assert np.isin(got, expect).all()
+        assert len(got) >= len(expect) * 0.99
+    # payload column survives the filter
+    assert set(out.columns) == {"key", "payload"}
+
+
+def test_filter_unseen_empty_sides():
+    corpus = _corpus_ds(100)
+    empty = ray.data.from_arrow(
+        pa.table({"key": pa.array([], type=pa.int64())})
+    )
+    assert filter_unseen(empty, corpus, "key", n_expected=100).count() == 0
+    # all-new batch against the corpus
+    new = ray.data.from_arrow(
+        pa.table({"key": pa.array([10**12, 10**12 + 1], type=pa.int64())})
+    )
+    assert filter_unseen(new, corpus, "key", n_expected=100).count() == 2
+
+
+def test_shard_assembly_deterministic():
+    ds = _corpus_ds(500, parallelism=3)
+    b1 = build_bloom(ds, "key", n_expected=500, n_shards=4)
+    b2 = build_bloom(_corpus_ds(500, parallelism=9), "key", n_expected=500, n_shards=4)
+    assert isinstance(b1, BloomFilter)
+    assert b1.m_shard == b2.m_shard and b1.k == b2.k
+    assert np.array_equal(b1.bits, b2.bits)
