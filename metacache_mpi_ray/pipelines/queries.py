@@ -1432,6 +1432,19 @@ def q_chunked_docs(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=50)
 
 
+def q_packed_sequences(sf_dir: str):
+    """Concatenate-and-split sequence packing: global token offsets
+    via the distributed prefix scan, then fixed 512-token training
+    windows (stages/chunking.py:pack_sequences)."""
+    from metacache_mpi_ray.stages.chunking import count_tokens_batch, pack_sequences
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: count_tokens_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(ds, seq_len=512)
+
+
 def q_rank_merge_planted(sf_dir: str):
     """Rank-aware candidate merge + bounded insert + threshold classify
     (candidates.h:90-102,191-289 / classification.cpp:227-262) over a
@@ -1836,6 +1849,7 @@ QUERIES = {
     "sample_docs_hashed": q_sample_docs_hashed,
     "unseen_docs": q_unseen_docs,
     "chunked_docs": q_chunked_docs,
+    "packed_sequences": q_packed_sequences,
     "kmeans_assign_planted": q_kmeans_assign_planted,
     "semantic_dedup_planted": q_semantic_dedup_planted,
     "ivf_topk_planted": q_ivf_topk_planted,
@@ -2313,6 +2327,17 @@ ORACLE_SQL = {
         "CAST(LEAST(50, len(toks) - chunk_idx * 50) AS BIGINT) AS n_tokens, "
         "array_to_string(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50], ' ') "
         "AS chunk FROM c"
+    ),
+    "packed_sequences": (
+        "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt "
+        "  FROM documents), "
+        "r AS (SELECT doc_id, nt, SUM(nt) OVER (ORDER BY doc_id) AS run "
+        "  FROM t) "
+        "SELECT doc_id, CAST(run - nt AS BIGINT) AS tok_offset, "
+        "CAST((run - nt) // 512 AS BIGINT) AS first_seq, "
+        "CAST((run - 1) // 512 AS BIGINT) AS last_seq, "
+        "CAST((run - 1) // 512 - (run - nt) // 512 + 1 AS BIGINT) AS n_seqs "
+        "FROM r"
     ),
     "rank_merge_planted": (
         # planted hierarchy: lang nodes 101+, (lang, source) nodes 1001+

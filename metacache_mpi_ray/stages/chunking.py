@@ -99,3 +99,73 @@ def chunk_documents(ds, text_col="text", id_col="doc_id", chunk_tokens=50):
         ),
         batch_format="pyarrow",
     )
+
+
+def count_tokens_batch(
+    t: pa.Table, text_col: str = "text", out_col: str = "n_tokens"
+) -> pa.Table:
+    """Whitespace token count straight from the split ListArray's
+    offset buffer (no string materialization)."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = np.diff(np.asarray(toks.offsets)).astype(np.int64)
+    return t.append_column(out_col, pa.array(n, type=pa.int64()))
+
+
+def pack_sequences(
+    ds,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+):
+    """Concatenate-and-split sequence packing (the standard LLM
+    pretraining layout: every document's tokens land at a global
+    offset in one virtual stream, which is then cut into fixed
+    ``seq_len`` windows).
+
+    Deterministic and partition-invariant: the global offset is an
+    exclusive prefix sum over ``id_col`` order computed by the
+    distributed scan (stages/scan.py — per-block partial sums + one
+    small carry exchange, no driver-side pass). Output per document:
+    ``tok_offset``, ``first_seq``/``last_seq`` (the training sequences
+    the document spans) and ``n_seqs``.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from metacache_mpi_ray.stages.scan import cumsum_per_group
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g", pa.array(np.zeros(len(t), dtype=np.int64))
+        )
+
+    run = cumsum_per_group(
+        ds.map_batches(add_g, batch_format="pyarrow"),
+        ["_g"],
+        [id_col],
+        ntok_col,
+        out_col="_run",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["_run"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t[ntok_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = r - n
+        first = off // seq_len
+        # empty docs (n == 0) sit entirely at their offset
+        last = np.where(n > 0, (r - 1) // seq_len, first)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "tok_offset": pa.array(off, type=pa.int64()),
+                "first_seq": pa.array(first, type=pa.int64()),
+                "last_seq": pa.array(last, type=pa.int64()),
+                "n_seqs": pa.array(last - first + 1, type=pa.int64()),
+            }
+        )
+
+    return run.map_batches(finish, batch_format="pyarrow")

@@ -73,3 +73,38 @@ def test_dataset_wrapper_partition_invariant(parallelism):
     exp = _oracle(ids, texts, 7)
     assert len(out) == len(exp)
     assert list(zip(out.doc_id, out.chunk_idx, out.n_tokens, out.chunk)) == exp
+
+
+@pytest.mark.parametrize("parallelism", [1, 5])
+def test_pack_sequences_matches_prefix_sum(parallelism):
+    from metacache_mpi_ray.stages.chunking import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 80
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    ntok = rng.integers(0, 40, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "n_tokens": ntok})
+    ).repartition(parallelism)
+    out = (
+        pack_sequences(ds, seq_len=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    run = np.cumsum(ntok)
+    off = run - ntok
+    first = off // 16
+    last = np.where(ntok > 0, (run - 1) // 16, first)
+    assert np.array_equal(out["tok_offset"].to_numpy(), off)
+    assert np.array_equal(out["first_seq"].to_numpy(), first)
+    assert np.array_equal(out["last_seq"].to_numpy(), last)
+    assert np.array_equal(out["n_seqs"].to_numpy(), last - first + 1)
+
+
+def test_count_tokens_batch():
+    from metacache_mpi_ray.stages.chunking import count_tokens_batch
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "", "one"]})
+    out = count_tokens_batch(t)
+    assert out["n_tokens"].to_pylist() == [4, 1, 1]
