@@ -587,6 +587,45 @@ def q_minhash_clusters_planted(sf_dir: str):
     return near_dup_pipeline(docs, CFG, num_partitions=8).clusters
 
 
+def q_cluster_representatives(sf_dir: str):
+    """Representative selection policy: instead of the min-doc_id
+    default, keep each duplicate cluster's best member by a quality
+    key (here a deterministic SQL-reproducible stand-in, doc_id % 7),
+    tie-broken by doc_id. Production dedup keeps the best-quality
+    member, not an arbitrary one; composition = flagship clusters ->
+    per-group bounded top-1 (the reference's maxcand insert rules,
+    candidates.h:252-258, with k=1)."""
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+    from metacache_mpi_ray.stages.windows import topk_per_group
+
+    docs = _planted_token_corpus(sf_dir)
+    clusters = near_dup_pipeline(docs, CFG, num_partitions=8).clusters
+
+    def add_quality(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "doc_id": t["doc_id"],
+                "quality": pa.array(ids % 7, type=pa.int64()),
+            }
+        )
+
+    scored = clusters.map_batches(add_quality, batch_format="pyarrow")
+    rep = topk_per_group(scored, "cluster_id", "quality", 1, tiebreak=["doc_id"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "rep_id": t["doc_id"],
+                "rep_quality": t["quality"],
+            }
+        )
+
+    return rep.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_minhash_signatures(sf_dir: str):
     from metacache_mpi_ray.stages.signatures import compute_signatures
 
@@ -1850,6 +1889,7 @@ QUERIES = {
     "unseen_docs": q_unseen_docs,
     "chunked_docs": q_chunked_docs,
     "packed_sequences": q_packed_sequences,
+    "cluster_representatives": q_cluster_representatives,
     "kmeans_assign_planted": q_kmeans_assign_planted,
     "semantic_dedup_planted": q_semantic_dedup_planted,
     "ivf_topk_planted": q_ivf_topk_planted,
@@ -2338,6 +2378,20 @@ ORACLE_SQL = {
         "CAST((run - 1) // 512 AS BIGINT) AS last_seq, "
         "CAST((run - 1) // 512 - (run - nt) // 512 + 1 AS BIGINT) AS n_seqs "
         "FROM r"
+    ),
+    "cluster_representatives": (
+        "WITH corpus AS ("
+        "  SELECT doc_id, doc_id AS src FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000000 AS doc_id, doc_id AS src"
+        "  FROM documents WHERE doc_id % 5 = 0), "
+        "cl AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY src) "
+        "  AS cluster_id FROM corpus), "
+        "r AS (SELECT cluster_id, doc_id, doc_id % 7 AS quality, "
+        "  row_number() OVER (PARTITION BY cluster_id "
+        "    ORDER BY doc_id % 7 DESC, doc_id) AS rn FROM cl) "
+        "SELECT cluster_id, doc_id AS rep_id, "
+        "CAST(quality AS BIGINT) AS rep_quality FROM r WHERE rn = 1"
     ),
     "rank_merge_planted": (
         # planted hierarchy: lang nodes 101+, (lang, source) nodes 1001+
