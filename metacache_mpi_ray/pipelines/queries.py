@@ -658,7 +658,7 @@ def q_lang_id(sf_dir: str):
         LangIdScorer,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_actor_concurrency(reserve=2, cap=8),
+        concurrency=(1, default_actor_concurrency(reserve=2, cap=8)),
         num_cpus=1,
     )
 
@@ -674,7 +674,9 @@ def q_lang_id_trigram(sf_dir: str):
         TrigramLangId,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_actor_concurrency(reserve=2, cap=8),
+        # autoscaling pool: tiny inputs spin one actor instead of
+        # paying 8 actor startups for a 500-doc table
+        concurrency=(1, default_actor_concurrency(reserve=2, cap=8)),
         num_cpus=1,
     )
 
@@ -705,7 +707,7 @@ def q_lang_id_planted(sf_dir: str):
         TrigramLangId,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_actor_concurrency(reserve=2, cap=8),
+        concurrency=(1, default_actor_concurrency(reserve=2, cap=8)),
         num_cpus=1,
     )
     return out.select_columns(["doc_id", "pred_lang"])
