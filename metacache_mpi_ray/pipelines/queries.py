@@ -1104,38 +1104,6 @@ def q_band_bucket_census(sf_dir: str):
     return stats.groupby("bucket_size").aggregate(Count(alias_name="n_buckets"))
 
 
-def q_band_census_planted(sf_dir: str):
-    """A8 feature census, oracle-checked: on the planted token corpus
-    every distinct text owns exactly one bucket per band (n_bands
-    buckets of size = its copy multiplicity; cross-text band-hash
-    collisions are 2^-64 — deterministic for the fixed seed either
-    way), so the bucket-size histogram is SQL-derivable."""
-    from metacache_mpi_ray.stages.banding import compute_bands
-    from metacache_mpi_ray.stages.candidates import bucket_stats
-    from metacache_mpi_ray.stages.signatures import compute_signatures
-
-    docs = _planted_token_corpus(sf_dir)
-    sigs = compute_signatures(docs, CFG, batch_size=128)
-    stats = bucket_stats(compute_bands(sigs, CFG), ["band_id", "band_hash"])
-    return stats.groupby("bucket_size").aggregate(Count(alias_name="n_buckets"))
-
-
-def q_index_moments_planted(sf_dir: str):
-    """A9 index statistics, oracle-checked: integer power sums of the
-    LSH bucket sizes over the planted corpus (same replication
-    argument as q_band_census_planted)."""
-    from metacache_mpi_ray.stages.banding import compute_bands
-    from metacache_mpi_ray.stages.candidates import bucket_stats
-    from metacache_mpi_ray.stages.signatures import compute_signatures
-    from metacache_mpi_ray.stages.stats import grouped_moments
-
-    docs = _planted_token_corpus(sf_dir)
-    sigs = compute_signatures(docs, CFG, batch_size=128)
-    sizes = bucket_stats(compute_bands(sigs, CFG), ["band_id", "band_hash"])
-    out = grouped_moments(sizes, None, "bucket_size")
-    return out.select_columns(["n", "sum_x", "sum_x2", "sum_x3"])
-
-
 def q_cluster_lcs(sf_dir: str):
     """Per-cluster longest-common-substring refinement (F6 analog) over
     planted half-prefix copies: every doc with doc_id % 4 == 0 gets a
@@ -1982,8 +1950,6 @@ QUERIES = {
     # -- misc rows-only --
     "sample_docs": q_sample_docs,
     "band_bucket_census": q_band_bucket_census,
-    "band_census_planted": q_band_census_planted,
-    "index_moments_planted": q_index_moments_planted,
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
     "lang_id": q_lang_id,
@@ -2428,21 +2394,6 @@ ORACLE_SQL = {
         "    ORDER BY doc_id % 7 DESC, doc_id) AS rn FROM cl) "
         "SELECT cluster_id, doc_id AS rep_id, "
         "CAST(quality AS BIGINT) AS rep_quality FROM r WHERE rn = 1"
-    ),
-    "band_census_planted": (
-        "WITH g AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS sz "
-        "  FROM documents) "
-        "SELECT CAST(sz AS BIGINT) AS bucket_size, "
-        f"CAST(count(*) * {CFG.n_bands} AS BIGINT) AS n_buckets "
-        "FROM g GROUP BY sz"
-    ),
-    "index_moments_planted": (
-        "WITH g AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS sz "
-        "  FROM documents) "
-        f"SELECT CAST(count(*) * {CFG.n_bands} AS BIGINT) AS n, "
-        f"CAST(sum(sz) * {CFG.n_bands} AS BIGINT) AS sum_x, "
-        f"CAST(sum(sz * sz) * {CFG.n_bands} AS BIGINT) AS sum_x2, "
-        f"CAST(sum(sz * sz * sz) * {CFG.n_bands} AS BIGINT) AS sum_x3 FROM g"
     ),
     "rank_merge_planted": (
         # planted hierarchy: lang nodes 101+, (lang, source) nodes 1001+
