@@ -80,7 +80,8 @@ def chunk_tokens_batch(
         chunks = pa.ListArray.from_arrays(
             pa.array(new_offsets, type=pa.int32()), toks.values
         )
-    joined = pc.binary_join(chunks, " ")
+    sep = pa.scalar(" ", type=chunks.type.value_type)
+    joined = pc.binary_join(chunks, sep)
     return pa.table(
         {
             id_col: pa.array(ids[doc_of], type=t.schema.field(id_col).type),

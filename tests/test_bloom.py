@@ -100,3 +100,12 @@ def test_shard_assembly_deterministic():
     assert isinstance(b1, BloomFilter)
     assert b1.m_shard == b2.m_shard and b1.k == b2.k
     assert np.array_equal(b1.bits, b2.bits)
+
+
+def test_filter_unseen_string_keys():
+    corpus = _corpus_ds(400, as_str=True)
+    seen = [f"http://site-{i*7+3}.example/p" for i in range(0, 400, 4)]
+    fresh = [f"http://fresh-{i}.example/p" for i in range(50)]
+    new = ray.data.from_arrow(pa.table({"key": pa.array(seen + fresh)}))
+    out = filter_unseen(new, corpus, "key", n_expected=400).to_pandas()
+    assert sorted(out["key"]) == sorted(fresh)

@@ -108,3 +108,11 @@ def test_count_tokens_batch():
     t = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "", "one"]})
     out = count_tokens_batch(t)
     assert out["n_tokens"].to_pylist() == [4, 1, 1]
+
+
+def test_chunk_batch_large_string():
+    texts = pa.array(["a b c d", "x"], type=pa.large_string())
+    t = pa.table({"doc_id": np.array([1, 2], dtype=np.int64), "text": texts})
+    out = chunk_tokens_batch(t, chunk_tokens=3)
+    assert out["chunk"].to_pylist() == ["a b c", "d", "x"]
+    assert out["n_tokens"].to_pylist() == [3, 1, 1]
