@@ -44,6 +44,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from metacache_mpi_ray.functions.hashing import (
@@ -190,16 +191,33 @@ def filter_unseen(
     seed: int = 101,
     mode: str = "exact",
     bloom: BloomFilter | None = None,
+    strategy: str = "auto",
+    broadcast_bytes_limit: int = 2 << 30,
+    n_new: int | None = None,
 ):
     """Rows of ``new_ds`` whose key does not appear in ``corpus_ds``.
 
     Bloom prune -> (exact mode) verify the positives against the
-    corpus keys. The verify side ships only the positive hash set
-    (``true_seen + fpp * |new|`` u64s) as a broadcast sorted array and
-    scans the corpus key column once, so no corpus-sized structure
-    ever reaches the driver. ``mode="approx"`` returns the pruned set
-    directly: exact up to the documented fpp (a false positive drops a
-    genuinely-new row; never the reverse).
+    corpus keys. Two exact strategies (``strategy="auto"`` picks by
+    the positive-set bound ``|new| * 8`` bytes vs
+    ``broadcast_bytes_limit``, the same payload-sized switch as
+    stages/verify.py):
+
+    - ``broadcast``: ship the positive hash set (``true_seen + fpp *
+      |new|`` u64s) to the workers and scan the corpus key column once
+      — no corpus-sized structure ever reaches the driver; right when
+      the incoming batch is small relative to the corpus (the frontier
+      case).
+    - ``join``: bloom-negative rows pass straight through (no
+      shuffle); only the positives take a hash-partitioned left-outer
+      join against the distinct corpus keys (8-byte rows) — nothing is
+      ever collected to the driver, for batch sizes where even the
+      positive set outgrows one object.
+
+    ``mode="approx"`` returns the pruned set directly: exact up to the
+    documented fpp (a false positive drops a genuinely-new row; never
+    the reverse). ``n_new`` (row-count hint for ``auto``) avoids a
+    count() execution of ``new_ds`` when the caller already knows it.
     """
     if bloom is None:
         bloom = build_bloom(
@@ -216,7 +234,13 @@ def filter_unseen(
 
         return new_ds.map_batches(keep_neg, batch_format="pyarrow")
 
-    # exact: collect positive h1 values (small by construction)
+    if strategy == "auto":
+        est = n_new if n_new is not None else new_ds.count()
+        strategy = "broadcast" if est * 8 <= broadcast_bytes_limit else "join"
+    if strategy == "join":
+        return _filter_unseen_join(new_ds, corpus_ds, col, seed, bref)
+
+    # broadcast: collect positive h1 values (small by construction)
     def emit_pos(t: pa.Table) -> pa.Table:
         b = ray.get(bref)
         h1, h2 = key_hashes(t, col, b.seed)
@@ -267,3 +291,61 @@ def filter_unseen(
         return t.filter(pa.array(f[idx] != h1))
 
     return new_ds.map_batches(keep_unseen, batch_format="pyarrow")
+
+
+def _filter_unseen_join(new_ds, corpus_ds, col: str, seed: int, bref):
+    """Distributed exact path: negatives stream through untouched;
+    positives anti-join the distinct corpus keys (8-byte rows, one
+    groupby + one hash join, nothing on the driver)."""
+    from ray.data.aggregate import Count
+
+    from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+    from metacache_mpi_ray.stages.joins import large_join
+
+    out_cols = list(new_ds.schema().names)
+
+    def split(keep_positive: bool):
+        def f(t: pa.Table) -> pa.Table:
+            b = ray.get(bref)
+            h1, h2 = key_hashes(t, col, b.seed)
+            m = b.might_contain(h1, h2)
+            if keep_positive:
+                t = t.append_column("_h1", pa.array(h1.view(np.int64)))
+                return t.filter(pa.array(m))
+            return t.filter(pa.array(~m))
+
+        return f
+
+    neg = new_ds.map_batches(split(False), batch_format="pyarrow")
+    base = new_ds.schema().base_schema
+    pos_schema = base.append(pa.field("_h1", pa.int64()))
+    # filters emit zero-row blocks whose schema a later hash join
+    # rejects ("No match for key field reference") — prune them
+    pos = drop_empty_blocks(
+        new_ds.map_batches(split(True), batch_format="pyarrow").materialize(),
+        schema=pos_schema,
+    )
+    if pos.count() == 0:
+        return neg  # nothing bloom-positive: every row is new
+
+    def corpus_keys(t: pa.Table) -> pa.Table:
+        h1, _ = key_hashes(t, col, seed)
+        return pa.table({"_h1": pa.array(np.unique(h1).view(np.int64))})
+
+    marked = drop_empty_blocks(
+        corpus_ds.map_batches(corpus_keys, batch_format="pyarrow")
+        .groupby("_h1")
+        .aggregate(Count(alias_name="_hit"))
+        .materialize(),
+        schema=pa.schema([("_h1", pa.int64()), ("_hit", pa.int64())]),
+    )
+    joined = large_join(pos, marked, on=("_h1",), join_type="left_outer")
+
+    def unseen_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["_hit"])).select(out_cols)
+
+    anti = joined.map_batches(unseen_only, batch_format="pyarrow")
+    anti = drop_empty_blocks(
+        anti.materialize(), schema=new_ds.schema().base_schema
+    )
+    return neg.union(anti)

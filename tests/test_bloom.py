@@ -109,3 +109,33 @@ def test_filter_unseen_string_keys():
     new = ray.data.from_arrow(pa.table({"key": pa.array(seen + fresh)}))
     out = filter_unseen(new, corpus, "key", n_expected=400).to_pandas()
     assert sorted(out["key"]) == sorted(fresh)
+
+
+@pytest.mark.parametrize("strategy", ["join", "auto"])
+def test_filter_unseen_join_path(strategy):
+    corpus = _corpus_ds(1500, parallelism=4)
+    seen = np.arange(200, dtype=np.int64) * 7 * 5 + 3
+    fresh = np.arange(200, dtype=np.int64) * 7 + 5
+    keys = np.concatenate([seen, fresh])
+    new = ray.data.from_arrow(
+        pa.table({"key": keys, "payload": np.arange(400)})
+    ).repartition(3)
+    kwargs = {"strategy": strategy}
+    if strategy == "auto":
+        kwargs["broadcast_bytes_limit"] = 8  # force the join branch
+    out = filter_unseen(
+        new, corpus, "key", n_expected=1500, fpp=0.001, **kwargs
+    ).to_pandas()
+    assert np.array_equal(np.sort(out["key"].to_numpy()), np.sort(fresh))
+    assert set(out.columns) == {"key", "payload"}
+
+
+def test_filter_unseen_join_path_no_positives():
+    corpus = _corpus_ds(300)
+    new = ray.data.from_arrow(
+        pa.table({"key": pa.array([10**12, 10**12 + 1], type=pa.int64())})
+    )
+    out = filter_unseen(
+        new, corpus, "key", n_expected=300, strategy="join"
+    ).to_pandas()
+    assert len(out) == 2
