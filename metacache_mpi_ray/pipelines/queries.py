@@ -1459,7 +1459,9 @@ def q_unseen_docs(sf_dir: str):
         build_new, batch_format="pyarrow"
     )
     n = _documents(sf_dir, columns=["doc_id"]).count()
-    return filter_unseen(new, corpus, "key", n_expected=max(1, n), fpp=0.001)
+    return filter_unseen(
+        new, corpus, "key", n_expected=max(1, n), fpp=0.001, n_new=n
+    )
 
 
 def q_chunked_docs(sf_dir: str):
