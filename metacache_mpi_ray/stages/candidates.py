@@ -467,6 +467,56 @@ def dedupe_edges(edges, num_partitions: int = 32):
     return edges.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
 
 
+def unique_pairs(edges):
+    """Distinct (a, b) rows, multiplicity dropped.
+
+    sort(["a", "b"]) + per-whole-block run kernel + two-fragment-rows-
+    per-block driver stitch (the windows-family pattern): equal pairs
+    are contiguous after the sort, so each block keeps the first row of
+    every interior run and ships only its first/last runs to the tiny
+    driver dedup. Ray's hash-aggregate groupby on the same input
+    measured 124 s at 46M edge rows / 1.9M distinct pairs (4M-doc
+    corpus) where this path costs one narrow sort (~10 s). Use
+    ``dedupe_edges`` instead when the band-agreement count matters."""
+    from metacache_mpi_ray.stages.windows import _split_frag
+
+    ds = edges.select_columns(["a", "b"])
+    sorted_ds = ds.sort(["a", "b"]).materialize()
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return t.append_column("__frag", pa.array([], type=pa.bool_()))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(a[1:], a[:-1], out=change[1:])
+        change[1:] |= b[1:] != b[:-1]
+        starts = np.flatnonzero(change)
+        nseg = len(starts)
+        # first/last runs may continue into the neighboring sorted block
+        frag = np.zeros(nseg, dtype=bool)
+        frag[0] = frag[-1] = True
+        sub = t.take(pa.array(starts))
+        return sub.append_column("__frag", pa.array(frag))
+
+    final, frags = _split_frag(
+        sorted_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+    )
+    if len(frags):
+        frags = frags.drop_duplicates(["a", "b"])
+        final = final.union(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(
+                    frags[["a", "b"]].reset_index(drop=True), preserve_index=False
+                )
+            )
+        )
+    return final
+
+
 def ambiguity_filter(ds, key_col: str, source_col: str, max_sources: int):
     """Ambiguous-feature removal (D4 analog, /root/reference/src/
     sketch_database.h:428-470): drop every row whose ``key_col`` bucket

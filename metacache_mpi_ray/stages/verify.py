@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.stages.signatures import sig_from_arrow
 
@@ -225,6 +227,7 @@ def verify_pairs_payload(
         )
 
     lookup_ref = None
+    n_wanted = wanted_ref = None
     if payload_bytes_per_row is not None and strategy in ("auto", "broadcast"):
         # off-driver fast path: decide by endpoint COUNT x payload width
         # (known up front), assemble the subset in one task — the
@@ -307,6 +310,35 @@ def verify_pairs_payload(
         # _nonempty_or_none); the empty-payload probe is a one-row
         # prefix execution, cheap for any non-empty table
         return rd.from_arrow(_empty())
+    # LSH-style emitters hand the same (a, b) pair once per agreeing
+    # band/block; the joins below attach a packed payload row to EVERY
+    # edge row, so the shuffled bytes scale with pairs x multiplicity x
+    # payload width. Dedup first: the join path's output is a pair SET
+    # (score depends only on the two payloads), and one narrow sort
+    # bounds the payload shuffle by DISTINCT pairs. Measured on the
+    # flagship's minhash twin at 4M docs: 46M raw edge rows x 1 KB
+    # signatures spilled >76 GB and filled the disk; deduped it runs in
+    # the dup-subset footprint.
+    from metacache_mpi_ray.stages.candidates import unique_pairs
+
+    # drop_empty_blocks = schema guard: unique_pairs' union can hand
+    # down schema-less empty blocks that crash the Ray 2.49 hash join's
+    # key lookup (functions/blocks.py)
+    edges = drop_empty_blocks(
+        unique_pairs(edges).materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    # ship only payload rows that some edge endpoint references: the
+    # sorted endpoint-id array is ids-only (8 B/row) and rides one
+    # broadcast object; skipped if even that outgrows the limit (the
+    # join itself still drops unreferenced rows, just after shuffling
+    # them)
+    if wanted_ref is None or n_wanted is None:
+        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
+    if n_wanted * 8 <= broadcast_bytes_limit:
+        table = table.map_batches(
+            filter_to_ids(id_col, wanted_ref), batch_format="pyarrow"
+        )
     itemsize = np.dtype(payload_dtype).itemsize
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -405,7 +437,11 @@ def verify_edges(
         n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
         if n_wanted * cfg.n_perms * 8 <= broadcast_bytes_limit:
             return _verify_broadcast(edges, signatures, cfg, wanted_ref=wanted_ref)
-        return _verify_join(edges, signatures, cfg, num_partitions)
+        return _verify_join(
+            edges, signatures, cfg, num_partitions,
+            n_wanted=n_wanted, wanted_ref=wanted_ref,
+            id_bytes_limit=broadcast_bytes_limit,
+        )
     if strategy == "broadcast":
         return _verify_broadcast(edges, signatures, cfg)
     return _verify_join(edges, signatures, cfg, num_partitions)
@@ -677,7 +713,16 @@ def verify_edges_exact_jaccard(
     return j.map_batches(score_j, batch_format="pyarrow")
 
 
-def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
+def _verify_join(
+    edges,
+    signatures,
+    cfg: DedupConfig,
+    num_partitions: int,
+    *,
+    n_wanted: int | None = None,
+    wanted_ref=None,
+    id_bytes_limit: int = 2 << 30,
+):
     from metacache_mpi_ray.stages.signatures import sig_from_binary, sig_to_binary
 
     edges = _nonempty_or_none(edges)
@@ -690,6 +735,35 @@ def _verify_join(edges, signatures, cfg: DedupConfig, num_partitions: int):
                     "est_sim": pa.array([], type=pa.float64()),
                 }
             )
+        )
+
+    # dedupe (a, b) before the joins: LSH emits the same pair once per
+    # agreeing band, and the joins below attach a packed n_perms x 8 B
+    # signature to EVERY edge row. Measured at 4M docs / 46M raw edge
+    # rows: the un-deduped join shuffled >76 GB of signature payload and
+    # filled the sandbox disk; deduped, the payload shuffle is bounded
+    # by distinct candidate pairs (the dup-subset footprint). Output
+    # pair-set and scores are unchanged — score depends only on the two
+    # signatures, and union-find/threshold consumers are
+    # multiplicity-agnostic.
+    from metacache_mpi_ray.stages.candidates import unique_pairs
+
+    # drop_empty_blocks = schema guard: unique_pairs' union can hand
+    # down schema-less empty blocks that crash the Ray 2.49 hash join's
+    # key lookup (functions/blocks.py)
+    edges = drop_empty_blocks(
+        unique_pairs(edges).materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    # prune the signature table to edge endpoints before packing: the
+    # endpoint-id broadcast is ids-only (8 B/row, 128x narrower than the
+    # signature broadcast that already failed to fit when this path
+    # engaged)
+    if wanted_ref is None or n_wanted is None:
+        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
+    if n_wanted * 8 <= id_bytes_limit:
+        signatures = signatures.select_columns(["doc_id", "sig"]).map_batches(
+            filter_to_ids("doc_id", wanted_ref), batch_format="pyarrow"
         )
 
     def pack(batch: pa.Table) -> pa.Table:

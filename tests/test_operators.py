@@ -264,6 +264,31 @@ def test_bucket_all_pairs_reassembles_split_buckets():
     assert len(few) == 3
 
 
+@pytest.mark.parametrize("n_blocks", [1, 3, 17])
+def test_unique_pairs_matches_pandas(n_blocks):
+    """Sorted-run dedup must equal pandas drop_duplicates at every block
+    count, including when an equal-pair run straddles block boundaries
+    (forced by heavy per-pair multiplicity + many small blocks)."""
+    from metacache_mpi_ray.stages.candidates import unique_pairs
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, size=5000)
+    b = rng.integers(0, 40, size=5000)
+    df = pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+    got = (
+        unique_pairs(rd.from_pandas(df).repartition(n_blocks))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 # ----------------------------------------- shared verify strategy switch
 
 def test_simhash_dedup_join_strategy_matches_broadcast():
