@@ -638,6 +638,7 @@ def verify_edges_exact_jaccard(
         )
 
     sref = None
+    n_wanted = wref = None
     if strategy in ("auto", "broadcast"):
         # off-driver subset assembly (round-3 review: the previous
         # version streamed the whole subset through the driver heap via
@@ -645,7 +646,7 @@ def verify_edges_exact_jaccard(
         # scale-killer pattern the MinHash path already removed): filter
         # distributed, assemble in one task, read back only the nbytes
         # scalar for the auto decision
-        _, wref = _edge_doc_ids_ref(edges)
+        n_wanted, wref = _edge_doc_ids_ref(edges)
         sub = sets_ds.map_batches(filter_to_ids("doc_id", wref), batch_format="pyarrow")
         refs = sub.to_arrow_refs()
         if refs:
@@ -687,8 +688,25 @@ def verify_edges_exact_jaccard(
     edges = _nonempty_or_none(edges)
     if edges is None or sets_ds.count() == 0:
         return rd.from_arrow(_empty())
-    sa = sets_ds.rename_columns({"doc_id": "a", "shingles": "set_a"})
-    sb = sets_ds.rename_columns({"doc_id": "b", "shingles": "set_b"})
+    # same two scale guards as verify_pairs_payload's join path: the
+    # joins attach a packed shingle set (KBs/doc — far wider than a
+    # signature) to every edge row, so dedupe (a, b) first and prune
+    # the set table to edge endpoints via the ids-only broadcast
+    from metacache_mpi_ray.stages.candidates import unique_pairs
+
+    edges = drop_empty_blocks(
+        unique_pairs(edges).materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    if wref is None or n_wanted is None:
+        n_wanted, wref = _edge_doc_ids_ref(edges)
+    side = sets_ds
+    if n_wanted * 8 <= broadcast_bytes_limit:
+        side = sets_ds.map_batches(
+            filter_to_ids("doc_id", wref), batch_format="pyarrow"
+        ).materialize()  # both join sides read the same filtered blocks
+    sa = side.rename_columns({"doc_id": "a", "shingles": "set_a"})
+    sb = side.rename_columns({"doc_id": "b", "shingles": "set_b"})
     j = edges.select_columns(["a", "b"]).join(
         sa, join_type="inner", num_partitions=num_partitions, on=("a",)
     )
