@@ -228,6 +228,16 @@ def verify_pairs_payload(
 
     lookup_ref = None
     n_wanted = wanted_ref = None
+    if payload_bytes_per_row is None and strategy in ("auto", "broadcast"):
+        # derive the fixed payload width from a tiny prefix execution so
+        # callers with data-dependent widths (embedding dim) still get
+        # the off-driver fast path below instead of streaming the whole
+        # subset through the driver heap (_collect_payload_subset)
+        for b in table.limit(16).iter_batches(batch_size=16, batch_format="pyarrow"):
+            ids_p, pay_p = extract(b)
+            if len(ids_p):
+                payload_bytes_per_row = int(pay_p.shape[1] * pay_p.dtype.itemsize)
+                break
     if payload_bytes_per_row is not None and strategy in ("auto", "broadcast"):
         # off-driver fast path: decide by endpoint COUNT x payload width
         # (known up front), assemble the subset in one task — the
