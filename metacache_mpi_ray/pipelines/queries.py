@@ -992,6 +992,59 @@ def q_html_extract(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def _docs_textfile(sf_dir: str, fmt: str) -> str:
+    """documents.parquet converted ONCE to a /tmp CSV or JSONL file
+    (content-fingerprinted cache, the q_query_vs_index pattern) so the
+    format-reader queries exercise a real non-parquet read."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|docs-{fmt}-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/metacache_docs_{key}.{fmt}"
+    if not os.path.exists(path):
+        tab = pq.read_table(src, columns=["doc_id", "text"])
+        tmp = path + ".tmp"
+        if fmt == "csv":
+            import pyarrow.csv as pacsv
+
+            pacsv.write_csv(tab, tmp)
+        else:
+            tab.to_pandas().to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, path)  # atomic: concurrent queries see all-or-nothing
+    return path
+
+
+_NORM_LEN_ORACLE = (
+    "SELECT doc_id, CAST(length(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars FROM documents"
+)
+
+
+def q_csv_ingest(sf_dir: str):
+    """CSV source format (S5 format dispatch): the documents table
+    round-trips through a real CSV file and the read_docs_csv reader;
+    the canonical n_chars must match the norm-v1 SQL on the parquet
+    original."""
+    from metacache_mpi_ray.sources.textfiles import read_docs_csv
+
+    docs = read_docs_csv(_docs_textfile(sf_dir, "csv"))
+    return docs.select_columns(["doc_id", "n_chars"])
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """NDJSON/JSONL source format (S5): same parity check as
+    q_csv_ingest down the read_docs_jsonl reader."""
+    from metacache_mpi_ray.sources.textfiles import read_docs_jsonl
+
+    docs = read_docs_jsonl(_docs_textfile(sf_dir, "jsonl"))
+    return docs.select_columns(["doc_id", "n_chars"])
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded Bernoulli sample (absent in the reference — SURVEY §2.6;
     deterministic given the seed, so checked rows-only)."""
@@ -1945,6 +1998,8 @@ QUERIES = {
     "abundance_redistribute": q_abundance_redistribute,
     "url_canonical": q_url_canonical,
     "html_extract": q_html_extract,
+    "csv_ingest": q_csv_ingest,
+    "jsonl_ingest": q_jsonl_ingest,
     "ambiguity_filtered_docs": q_ambiguity_filtered_docs,
     "source_chars_moments": q_source_chars_moments,
     "index_bucket_moments": q_index_bucket_moments,
@@ -2489,6 +2544,8 @@ ORACLE_SQL = {
     ),
     "url_canonical": _url_canonical_oracle(),
     "html_extract": _html_extract_oracle(),
+    "csv_ingest": _NORM_LEN_ORACLE,
+    "jsonl_ingest": _NORM_LEN_ORACLE,
     "abundance_redistribute": (
         "WITH fine AS (SELECT lang, source, count(*) AS c FROM documents "
         "  WHERE doc_id % 10 <> 0 GROUP BY lang, source), "
