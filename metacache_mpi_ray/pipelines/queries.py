@@ -1008,7 +1008,10 @@ def _docs_textfile(sf_dir: str, fmt: str) -> str:
     path = f"/tmp/metacache_docs_{key}.{fmt}"
     if not os.path.exists(path):
         tab = pq.read_table(src, columns=["doc_id", "text"])
-        tmp = path + ".tmp"
+        # per-writer tmp name: concurrent processes computing the same
+        # key must not truncate each other's half-written file; the
+        # rename publishes whichever complete file lands last
+        tmp = f"{path}.{os.getpid()}.tmp"
         if fmt == "csv":
             import pyarrow.csv as pacsv
 

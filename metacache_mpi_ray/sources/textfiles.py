@@ -42,7 +42,23 @@ def read_docs_csv(
 ) -> "ray.data.Dataset":
     """CSV file(s)/dir with at least (id_col, text_col) -> canonical
     docs. Quoted fields (commas/newlines inside text) round-trip via
-    the Arrow CSV reader; extra columns are dropped at the read."""
+    the Arrow CSV reader; extra columns are dropped at the read.
+
+    The column types are pinned rather than inferred: an all-numeric-
+    looking text column ('007', '1e5', 'TRUE') would otherwise be
+    inferred as int/double/bool and silently re-rendered by the string
+    cast, diverging from the same corpus ingested via Parquet/JSONL.
+    Unquoted empty fields read back as NULL (parquet-null parity) while
+    quoted empty strings stay '' — the Arrow writer quotes real strings,
+    so null/'' round-trips exactly."""
+    import pyarrow.csv as pacsv
+
+    if "convert_options" not in read_kw:
+        read_kw["convert_options"] = pacsv.ConvertOptions(
+            column_types={id_col: pa.int64(), text_col: pa.string()},
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False,
+        )
     ds = ray.data.read_csv(paths, **read_kw)
     return ingest_documents(ds.map_batches(_prep(id_col, text_col), batch_format="pyarrow"))
 

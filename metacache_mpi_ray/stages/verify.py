@@ -182,6 +182,56 @@ def _collect_payload_subset(table, id_col, wanted, extract, bytes_limit=None):
     return ids_all[order], pay_all[order]
 
 
+def _dedupe_and_prune(
+    edges,
+    table,
+    id_col: str,
+    *,
+    n_wanted: int | None = None,
+    wanted_ref=None,
+    id_bytes_limit: int = 2 << 30,
+):
+    """Shared join-fallback scale guards (verify_pairs_payload,
+    _verify_join, verify_edges_exact_jaccard).
+
+    LSH-style emitters hand the same (a, b) pair once per agreeing
+    band/block, and the join paths attach a packed payload row to EVERY
+    edge row — so shuffled bytes scale with pairs x multiplicity x
+    payload width. Measured at 4M docs / 46M raw edge rows x 1 KB
+    signatures: >76 GB of spill (disk-full); deduped it runs in the
+    dup-subset footprint. Two guards:
+
+    1. ``unique_pairs`` (sorted-run dedup; Ray's hash groupby measured
+       124 s on the same input) — output pair-set and scores are
+       unchanged, since scores depend only on the two payloads;
+       drop_empty_blocks guards the Ray 2.49 hash join against
+       schema-less empty blocks from the union (functions/blocks.py).
+    2. endpoint pre-filter of the payload table via the ids-only
+       broadcast (8 B/row — 128x narrower than the payload broadcast
+       that just failed to fit), skipped if even the ids outgrow the
+       limit (the join still drops unreferenced rows, just after
+       shuffling them).
+
+    Returns (deduped edges, possibly-filtered table). Callers MUST
+    empty-guard the packed payload side before joining: the filter can
+    legitimately drop every payload row (edges may reference endpoints
+    absent from the table), and a globally-empty join side crashes the
+    Ray 2.49 hash join (see _nonempty_or_none)."""
+    from metacache_mpi_ray.stages.candidates import unique_pairs
+
+    edges = drop_empty_blocks(
+        unique_pairs(edges).materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    if wanted_ref is None or n_wanted is None:
+        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
+    if n_wanted * 8 <= id_bytes_limit:
+        table = table.map_batches(
+            filter_to_ids(id_col, wanted_ref), batch_format="pyarrow"
+        )
+    return edges, table
+
+
 def verify_pairs_payload(
     edges,
     table,
@@ -206,6 +256,10 @@ def verify_pairs_payload(
     ``extract(batch) -> (ids int64, payload 2D ndarray)`` pulls the
     payload rows out of a ``table`` batch; ``score(pa, pb) ->
     (values ndarray, keep bool mask)`` scores aligned payload-row pairs.
+    Contract: ``table`` carries ONE fixed-width payload row per id —
+    the broadcast scorer's sorted-id lookup and the width peek below
+    both assume it (duplicate ids would silently score against an
+    arbitrary one of their rows on any path).
     ``auto`` broadcasts the edge-endpoint subset when it fits in
     ``broadcast_bytes_limit`` (measured while streaming — the collection
     aborts the moment it can't fit) and otherwise falls back to two hash
@@ -320,35 +374,11 @@ def verify_pairs_payload(
         # _nonempty_or_none); the empty-payload probe is a one-row
         # prefix execution, cheap for any non-empty table
         return rd.from_arrow(_empty())
-    # LSH-style emitters hand the same (a, b) pair once per agreeing
-    # band/block; the joins below attach a packed payload row to EVERY
-    # edge row, so the shuffled bytes scale with pairs x multiplicity x
-    # payload width. Dedup first: the join path's output is a pair SET
-    # (score depends only on the two payloads), and one narrow sort
-    # bounds the payload shuffle by DISTINCT pairs. Measured on the
-    # flagship's minhash twin at 4M docs: 46M raw edge rows x 1 KB
-    # signatures spilled >76 GB and filled the disk; deduped it runs in
-    # the dup-subset footprint.
-    from metacache_mpi_ray.stages.candidates import unique_pairs
-
-    # drop_empty_blocks = schema guard: unique_pairs' union can hand
-    # down schema-less empty blocks that crash the Ray 2.49 hash join's
-    # key lookup (functions/blocks.py)
-    edges = drop_empty_blocks(
-        unique_pairs(edges).materialize(),
-        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    edges, table = _dedupe_and_prune(
+        edges, table, id_col,
+        n_wanted=n_wanted, wanted_ref=wanted_ref,
+        id_bytes_limit=broadcast_bytes_limit,
     )
-    # ship only payload rows that some edge endpoint references: the
-    # sorted endpoint-id array is ids-only (8 B/row) and rides one
-    # broadcast object; skipped if even that outgrows the limit (the
-    # join itself still drops unreferenced rows, just after shuffling
-    # them)
-    if wanted_ref is None or n_wanted is None:
-        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
-    if n_wanted * 8 <= broadcast_bytes_limit:
-        table = table.map_batches(
-            filter_to_ids(id_col, wanted_ref), batch_format="pyarrow"
-        )
     itemsize = np.dtype(payload_dtype).itemsize
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -375,6 +405,12 @@ def verify_pairs_payload(
     # packed, and Ray Data has no cross-branch CSE — un-materialized,
     # the pack map (and the caller's table lineage) would execute twice
     packed = table.map_batches(pack, batch_format="pyarrow").materialize()
+    if packed.count() == 0:
+        # the endpoint pre-filter can legitimately empty the payload
+        # side (edges may reference ids absent from the table); a
+        # globally-empty join side crashes the Ray 2.49 hash join, and
+        # the correct answer is "every edge drops"
+        return rd.from_arrow(_empty())
     sa = packed.rename_columns({"doc_id": "a", "payload": "pay_a"})
     sb = packed.rename_columns({"doc_id": "b", "payload": "pay_b"})
     j = edges.select_columns(["a", "b"]).join(
@@ -649,6 +685,7 @@ def verify_edges_exact_jaccard(
 
     sref = None
     n_wanted = wref = None
+    sub_refs = None
     if strategy in ("auto", "broadcast"):
         # off-driver subset assembly (round-3 review: the previous
         # version streamed the whole subset through the driver heap via
@@ -660,6 +697,8 @@ def verify_edges_exact_jaccard(
         sub = sets_ds.map_batches(filter_to_ids("doc_id", wref), batch_format="pyarrow")
         refs = sub.to_arrow_refs()
         if refs:
+            sub_refs = refs  # reused by the join fallback: the filter
+            # over the full shingle table already executed here
             nb_ref, subset_ref = _assemble_set_subset.remote(*refs)
             if strategy == "broadcast" or int(ray.get(nb_ref)) <= broadcast_bytes_limit:
                 sref = subset_ref
@@ -698,23 +737,32 @@ def verify_edges_exact_jaccard(
     edges = _nonempty_or_none(edges)
     if edges is None or sets_ds.count() == 0:
         return rd.from_arrow(_empty())
-    # same two scale guards as verify_pairs_payload's join path: the
-    # joins attach a packed shingle set (KBs/doc — far wider than a
-    # signature) to every edge row, so dedupe (a, b) first and prune
-    # the set table to edge endpoints via the ids-only broadcast
-    from metacache_mpi_ray.stages.candidates import unique_pairs
+    # same two scale guards as verify_pairs_payload's join path (see
+    # _dedupe_and_prune): the joins attach a packed shingle set (KBs per
+    # doc — far wider than a signature) to every edge row
+    if sub_refs is not None:
+        # the endpoint filter over the full shingle table already
+        # executed for the broadcast probe — reuse its blocks instead of
+        # re-scanning the multi-GB set table
+        from metacache_mpi_ray.stages.candidates import unique_pairs
 
-    edges = drop_empty_blocks(
-        unique_pairs(edges).materialize(),
-        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
-    )
-    if wref is None or n_wanted is None:
-        n_wanted, wref = _edge_doc_ids_ref(edges)
-    side = sets_ds
-    if n_wanted * 8 <= broadcast_bytes_limit:
-        side = sets_ds.map_batches(
-            filter_to_ids("doc_id", wref), batch_format="pyarrow"
-        ).materialize()  # both join sides read the same filtered blocks
+        edges = drop_empty_blocks(
+            unique_pairs(edges).materialize(),
+            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+        side = rd.from_arrow_refs(sub_refs)
+    else:
+        edges, side = _dedupe_and_prune(
+            edges, sets_ds, "doc_id",
+            n_wanted=n_wanted, wanted_ref=wref,
+            id_bytes_limit=broadcast_bytes_limit,
+        )
+        side = side.materialize()  # both join sides read the same blocks
+    if side.count() == 0:
+        # the endpoint filter can legitimately drop every set row; an
+        # all-empty join side crashes the Ray 2.49 hash join, and the
+        # right answer is "every edge drops"
+        return rd.from_arrow(_empty())
     sa = side.rename_columns({"doc_id": "a", "shingles": "set_a"})
     sb = side.rename_columns({"doc_id": "b", "shingles": "set_b"})
     j = edges.select_columns(["a", "b"]).join(
@@ -765,34 +813,11 @@ def _verify_join(
             )
         )
 
-    # dedupe (a, b) before the joins: LSH emits the same pair once per
-    # agreeing band, and the joins below attach a packed n_perms x 8 B
-    # signature to EVERY edge row. Measured at 4M docs / 46M raw edge
-    # rows: the un-deduped join shuffled >76 GB of signature payload and
-    # filled the sandbox disk; deduped, the payload shuffle is bounded
-    # by distinct candidate pairs (the dup-subset footprint). Output
-    # pair-set and scores are unchanged — score depends only on the two
-    # signatures, and union-find/threshold consumers are
-    # multiplicity-agnostic.
-    from metacache_mpi_ray.stages.candidates import unique_pairs
-
-    # drop_empty_blocks = schema guard: unique_pairs' union can hand
-    # down schema-less empty blocks that crash the Ray 2.49 hash join's
-    # key lookup (functions/blocks.py)
-    edges = drop_empty_blocks(
-        unique_pairs(edges).materialize(),
-        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    edges, signatures = _dedupe_and_prune(
+        edges, signatures.select_columns(["doc_id", "sig"]), "doc_id",
+        n_wanted=n_wanted, wanted_ref=wanted_ref,
+        id_bytes_limit=id_bytes_limit,
     )
-    # prune the signature table to edge endpoints before packing: the
-    # endpoint-id broadcast is ids-only (8 B/row, 128x narrower than the
-    # signature broadcast that already failed to fit when this path
-    # engaged)
-    if wanted_ref is None or n_wanted is None:
-        n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
-    if n_wanted * 8 <= id_bytes_limit:
-        signatures = signatures.select_columns(["doc_id", "sig"]).map_batches(
-            filter_to_ids("doc_id", wanted_ref), batch_format="pyarrow"
-        )
 
     def pack(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -807,6 +832,20 @@ def _verify_join(
     sigs = signatures.select_columns(["doc_id", "sig"]).map_batches(
         pack, batch_format="pyarrow"
     ).materialize()
+    if sigs.count() == 0:
+        # the endpoint pre-filter can legitimately drop every signature
+        # (edges may reference absent ids); an all-empty join side
+        # crashes the Ray 2.49 hash join, and the right answer is
+        # "every edge drops"
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "est_sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     sa = sigs.rename_columns({"doc_id": "a", "sigbin": "sig_a"})
     sb = sigs.rename_columns({"doc_id": "b", "sigbin": "sig_b"})
     j = edges.join(sa, join_type="inner", num_partitions=num_partitions, on=("a",))

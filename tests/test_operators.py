@@ -547,6 +547,45 @@ def test_verify_pairs_payload_join_empty_block():
         strategy="join", num_partitions=2,
     ).to_pandas()
     assert set(zip(out["a"], out["b"], out["dist"])) == {(1, 2, 0)}
+def test_verify_join_paths_absent_endpoints():
+    """Edges whose endpoints are all ABSENT from the payload table must
+    yield zero verified pairs down the join strategy, not crash: the
+    endpoint pre-filter legitimately empties the payload join side, and
+    Ray 2.49's hash join cannot take a globally-empty side."""
+    from metacache_mpi_ray.config import DedupConfig
+    from metacache_mpi_ray.stages.ingest import ingest_documents
+    from metacache_mpi_ray.stages.signatures import compute_signatures
+    from metacache_mpi_ray.stages.verify import (
+        verify_edges,
+        verify_edges_exact_jaccard,
+    )
+
+    cfg = DedupConfig()
+    docs = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": pa.array(
+                        [" ".join(f"tok{i}z{j}" for j in range(40)) for i in range(4)]
+                    ),
+                }
+            )
+        )
+    )
+    sigs = compute_signatures(docs, cfg).materialize()
+    ghost_edges = rd.from_arrow(
+        pa.table({"a": pa.array([1000, 1001], type=pa.int64()),
+                  "b": pa.array([2000, 2001], type=pa.int64())})
+    )
+    v = verify_edges(ghost_edges, sigs, cfg, num_partitions=2, strategy="join")
+    assert v.count() == 0
+    vj = verify_edges_exact_jaccard(
+        ghost_edges, docs, cfg, strategy="join", num_partitions=2
+    )
+    assert vj.count() == 0
+
+
 def test_verify_join_paths_zero_edges():
     """A globally-empty edge list mustnot crash the join-strategy
     verify paths (Ray 2.49 hash join finalizes schema-less empty

@@ -58,6 +58,28 @@ def test_csv_quoting_roundtrip(tmp_path):
     assert got["norm_text"].tolist() == ['a, "quoted" b', "line1 line2", "plain"]
 
 
+def test_csv_nulls_and_inference_prone_values(tmp_path):
+    """NULL vs '' and numeric/bool-looking text must round-trip exactly
+    (pinned column types + quoted-empty-vs-unquoted-null semantics) —
+    byte parity with the in-memory ingest of the same table."""
+    from metacache_mpi_ray.sources.textfiles import read_docs_csv
+    from metacache_mpi_ray.stages.ingest import ingest_documents
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": pa.array(["x", None, "", "007", "1e5", "TRUE"]),
+        }
+    )
+    import pyarrow.csv as pacsv
+
+    p = os.path.join(tmp_path, "n.csv")
+    pacsv.write_csv(tab, p)
+    got = _canon(read_docs_csv(p))
+    want = _canon(ingest_documents(rd.from_arrow(tab)))
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_custom_column_names(tmp_path):
     from metacache_mpi_ray.sources.textfiles import read_docs_jsonl
 
