@@ -404,7 +404,7 @@ def embedding_near_dup(
     verified by exact cosine via a vectorized pairwise check after a
     signature join on the packed vectors.
     """
-    from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
+    from metacache_mpi_ray.stages.candidates import bucket_all_pairs, unique_pairs
 
     def emit_codes(batch: pa.Table) -> pa.Table:
         ids, raw = _valid_emb(batch)  # null rows can never near-dup
@@ -434,7 +434,10 @@ def embedding_near_dup(
     edges = bucket_all_pairs(
         codes, key_cols=["table_id", "code"], id_col="doc_id", cap=cap
     )
-    edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
+    # unique_pairs (sorted-run dedup) instead of the dedupe_edges hash
+    # groupby (119 s vs ~10 s at 34M pair rows; see candidates.py);
+    # the verify stage never reads the agreement count
+    edges = unique_pairs(edges).materialize()
 
     # exact cosine verification through the shared payload-sized
     # broadcast-vs-join auto switch (stages/verify.verify_pairs_payload):

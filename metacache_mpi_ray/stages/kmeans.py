@@ -291,7 +291,7 @@ def semantic_dedup(
     (representatives included). The SemDeDup prune set is
     ``is_dup AND vec_id != cluster_id``.
     """
-    from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
+    from metacache_mpi_ray.stages.candidates import bucket_all_pairs, unique_pairs
     from metacache_mpi_ray.stages.cluster import assign_clusters
     from metacache_mpi_ray.stages.verify import verify_pairs_payload
 
@@ -305,7 +305,10 @@ def semantic_dedup(
     )
     assigned = kmeans_assign(embeddings, cent, metric="cos", id_col=id_col)
     edges = bucket_all_pairs(assigned, key_cols=["cell"], id_col=id_col, cap=cap)
-    edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
+    # unique_pairs (sorted-run dedup) instead of the dedupe_edges hash
+    # groupby (119 s vs ~10 s at 34M pair rows; see candidates.py);
+    # the verify stage never reads the agreement count
+    edges = unique_pairs(edges).materialize()
 
     def extract(batch: pa.Table):
         ids, raw = _valid_emb(batch, id_col=id_col)

@@ -18,28 +18,43 @@ import pyarrow as pa
 
 from metacache_mpi_ray.config import DedupConfig
 from metacache_mpi_ray.functions.hashing import U64, concat_shingle_hashes
-from metacache_mpi_ray.stages.candidates import bucket_all_pairs, dedupe_edges
+from metacache_mpi_ray.stages.candidates import bucket_all_pairs, unique_pairs
+
+
+_POPBITS = None  # (256, 8) int64: bit k of byte value v, little-endian
 
 
 def simhash_from_shingles(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Core kernel: per-doc shingle stream -> (n,) u64 simhash.
 
-    One unpackbits to an (M, 64) bit matrix + ONE axis-0 reduceat votes
-    all 64 bits simultaneously (the round-1 version ran 64 separate
-    shift+reduceat passes over the hash stream). bitorder='little'
-    makes column k exactly bit k of the little-endian u64, so packbits
-    reassembles the identical signature values."""
+    Per-byte histogram voting (round-3; the round-2 version unpacked an
+    (M, 64) bit matrix and ran a strided axis-0 reduceat over it —
+    4.1 s per 5.6M-shingle batch, ~90M adds/s): for each of the 8 byte
+    positions, one np.bincount scatters the M byte values into per-doc
+    256-bin histograms, and a (n,256) @ (256,8) popcount-table matmul
+    turns histograms into per-bit ones-counts. Same arithmetic, same
+    bit-identical signatures (parity-tested against the round-1
+    reference kernel), ~6x faster and no M x 64 intermediate. Docs with
+    zero shingles get simhash 0 (the old reduceat indexed out of range
+    or read the neighboring segment for empty segments)."""
+    global _POPBITS
     n = len(offsets) - 1
     if n == 0 or len(hashes) == 0:
         return np.zeros(n, dtype=U64)
-    starts = offsets[:-1]
-    counts = np.diff(offsets)[:, None]
-    bits = np.unpackbits(
-        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )
-    # accumulate in int64 without materializing an int64 bit matrix
-    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
-    votes = (2 * ones) > counts
+    if _POPBITS is None:
+        _POPBITS = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+        ).astype(np.int64)
+    counts = np.diff(offsets)
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    byte_mat = hashes.view(np.uint8).reshape(-1, 8)
+    base = seg * np.int64(256)
+    votes = np.empty((n, 64), dtype=bool)
+    cnt2 = counts[:, None]
+    for j in range(8):
+        hist = np.bincount(base + byte_mat[:, j], minlength=n * 256).reshape(n, 256)
+        ones = hist @ _POPBITS  # (n, 8) per-bit ones-counts
+        votes[:, j * 8 : (j + 1) * 8] = (2 * ones) > cnt2
     return np.packbits(votes, axis=1, bitorder="little").view(U64).reshape(-1)
 
 
@@ -150,7 +165,11 @@ def simhash_dedup(
         blocks, key_cols=["block_id", "block_val"], id_col="doc_id",
         cap=cfg.bucket_cap,
     )
-    edges = dedupe_edges(edges, num_partitions=num_partitions).materialize()
+    # unique_pairs (sorted-run dedup), not the dedupe_edges hash
+    # groupby: at 1M docs / 34M pair rows the groupby measured 119 s
+    # against ~10 s for the sort, and nothing downstream reads the
+    # band-agreement count
+    edges = unique_pairs(edges).materialize()
 
     # exact Hamming verification through the shared payload-sized
     # broadcast-vs-join auto switch (stages/verify.verify_pairs_payload):
