@@ -463,21 +463,16 @@ def bucket_all_pairs(
 
 def dedupe_edges(edges, num_partitions: int = 32):
     """Collapse the same (a, b) edge found in multiple bands; keep the
-    number of agreeing bands as a signal column ``n_bands_hit``."""
-    return edges.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
+    number of agreeing bands as a signal column ``n_bands_hit``.
 
-
-def unique_pairs(edges):
-    """Distinct (a, b) rows, multiplicity dropped.
-
-    sort(["a", "b"]) + per-whole-block run kernel + two-fragment-rows-
-    per-block driver stitch (the windows-family pattern): equal pairs
-    are contiguous after the sort, so each block keeps the first row of
-    every interior run and ships only its first/last runs to the tiny
-    driver dedup. Ray's hash-aggregate groupby on the same input
-    measured 124 s at 46M edge rows / 1.9M distinct pairs (4M-doc
-    corpus) where this path costs one narrow sort (~10 s). Use
-    ``dedupe_edges`` instead when the band-agreement count matters."""
+    Round-3 rewrite: sort(["a", "b"]) + per-whole-block run-length
+    kernel + two-fragment-rows-per-block driver stitch (the
+    windows-family pattern) replaced the hash-aggregate groupby, which
+    measured 119 s on a 34M-row / 32M-distinct edge list where the
+    narrow sort costs ~10 s. Equal pairs are contiguous after the sort,
+    so interior run lengths ARE the band counts; the first/last run of
+    each block may continue into a neighbor and ships as a fragment,
+    re-summed in a tiny driver pass."""
     from metacache_mpi_ray.stages.windows import _split_frag
 
     ds = edges.select_columns(["a", "b"])
@@ -486,7 +481,14 @@ def unique_pairs(edges):
     def kernel(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
-            return t.append_column("__frag", pa.array([], type=pa.bool_()))
+            return pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "n_bands_hit": pa.array([], type=pa.int64()),
+                    "__frag": pa.array([], type=pa.bool_()),
+                }
+            )
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         change = np.empty(n, dtype=bool)
@@ -494,27 +496,46 @@ def unique_pairs(edges):
         np.not_equal(a[1:], a[:-1], out=change[1:])
         change[1:] |= b[1:] != b[:-1]
         starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n)).astype(np.int64)
         nseg = len(starts)
         # first/last runs may continue into the neighboring sorted block
         frag = np.zeros(nseg, dtype=bool)
         frag[0] = frag[-1] = True
         sub = t.take(pa.array(starts))
-        return sub.append_column("__frag", pa.array(frag))
+        return pa.table(
+            {
+                "a": sub["a"],
+                "b": sub["b"],
+                "n_bands_hit": pa.array(sizes, type=pa.int64()),
+                "__frag": pa.array(frag),
+            }
+        )
 
     final, frags = _split_frag(
         sorted_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None),
-        ["a", "b"],
+        ["a", "b", "n_bands_hit"],
     )
     if len(frags):
-        frags = frags.drop_duplicates(["a", "b"])
+        frags = (
+            frags.groupby(["a", "b"], as_index=False, sort=False)["n_bands_hit"]
+            .sum()
+        )
         final = final.union(
             ray.data.from_arrow(
                 pa.Table.from_pandas(
-                    frags[["a", "b"]].reset_index(drop=True), preserve_index=False
+                    frags[["a", "b", "n_bands_hit"]].reset_index(drop=True),
+                    preserve_index=False,
                 )
             )
         )
     return final
+
+
+def unique_pairs(edges):
+    """Distinct (a, b) rows, multiplicity dropped — ``dedupe_edges``
+    minus the count column (same sorted-run kernel; see there for the
+    groupby-vs-sort measurements)."""
+    return dedupe_edges(edges).select_columns(["a", "b"])
 
 
 def ambiguity_filter(ds, key_col: str, source_col: str, max_sources: int):

@@ -265,6 +265,37 @@ def test_bucket_all_pairs_reassembles_split_buckets():
 
 
 @pytest.mark.parametrize("n_blocks", [1, 3, 17])
+def test_dedupe_edges_counts_match_pandas(n_blocks):
+    """Sorted-run band counting must equal the pandas groupby count at
+    every block count, including when one pair's run straddles sorted
+    block boundaries (heavy multiplicity, many small blocks)."""
+    from metacache_mpi_ray.stages.candidates import dedupe_edges
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 25, size=4000).astype(np.int64),
+            "b": rng.integers(0, 25, size=4000).astype(np.int64),
+        }
+    )
+    got = (
+        dedupe_edges(rd.from_pandas(df).repartition(n_blocks))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["a", "b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_bands_hit"})
+        .astype({"n_bands_hit": np.int64})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3, 17])
 def test_unique_pairs_matches_pandas(n_blocks):
     """Sorted-run dedup must equal pandas drop_duplicates at every block
     count, including when an equal-pair run straddles block boundaries
