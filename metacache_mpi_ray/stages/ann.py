@@ -386,11 +386,23 @@ def hyperplane_codes(mat: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     return (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
 
 
+def _auto_planes(n_rows: int, target_bucket: int = 8) -> int:
+    """Hyperplane count scaling with corpus size: 2^planes buckets
+    should keep the MEAN bucket near ``target_bucket`` rows, because the
+    candidate stage lists ALL pairs per bucket — at a fixed 12 planes a
+    1M-row corpus averaged 244 rows/bucket and emitted ~480M pair rows
+    (measured: 139 s end-to-end; auto-sized it is bounded by the true
+    near-dup density). Clamped to [12, 24]: 12 preserves the sf-scale
+    defaults (and their oracle outputs) exactly, 24 bounds per-plane
+    recall loss."""
+    return int(min(24, max(12, np.ceil(np.log2(max(n_rows / target_bucket, 2.0))))))
+
+
 def embedding_near_dup(
     embeddings,
     *,
     sim_threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 7,
     cap: int = 512,
@@ -403,8 +415,19 @@ def embedding_near_dup(
     bucketings; same-bucket rows become candidate star-edges (capped),
     verified by exact cosine via a vectorized pairwise check after a
     signature join on the packed vectors.
+
+    ``n_planes=None`` auto-sizes from the corpus (see _auto_planes) and
+    adds one extra table per 3 extra planes so multi-table recall holds
+    as per-table collision probability drops; exact duplicates always
+    collide regardless of plane count.
     """
     from metacache_mpi_ray.stages.candidates import bucket_all_pairs, unique_pairs
+
+    # consumed twice (code emission + exact-cosine verify) — one read
+    embeddings = embeddings.materialize()
+    if n_planes is None:
+        n_planes = _auto_planes(embeddings.count())
+        n_tables = max(n_tables, 4 + max(0, (n_planes - 12) // 3))
 
     def emit_codes(batch: pa.Table) -> pa.Table:
         ids, raw = _valid_emb(batch)  # null rows can never near-dup

@@ -264,6 +264,23 @@ def test_bucket_all_pairs_reassembles_split_buckets():
     assert len(few) == 3
 
 
+def test_auto_planes_scaling():
+    """Plane auto-sizing: sf-scale corpora keep the 12-plane default
+    (oracle stability); bucket count tracks corpus size at scale; the
+    clamp bounds per-plane recall loss."""
+    from metacache_mpi_ray.stages.ann import _auto_planes
+
+    assert _auto_planes(500) == 12
+    assert _auto_planes(30_000) == 12
+    assert _auto_planes(1_000_000) == 17
+    assert _auto_planes(10**9) == 24  # clamped
+    # mean bucket size stays near target in the scaling regime
+    for n in (10**5, 10**6, 10**7):
+        p = _auto_planes(n)
+        if 12 < p < 24:
+            assert 4 <= n / 2**p <= 16
+
+
 @pytest.mark.parametrize("n_blocks", [1, 3, 17])
 def test_dedupe_edges_counts_match_pandas(n_blocks):
     """Sorted-run band counting must equal the pandas groupby count at
