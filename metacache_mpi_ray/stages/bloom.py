@@ -219,6 +219,17 @@ def filter_unseen(
     the reverse). ``n_new`` (row-count hint for ``auto``) avoids a
     count() execution of ``new_ds`` when the caller already knows it.
     """
+    if mode != "approx":
+        # the exact paths consume new_ds TWICE (positive-set emission +
+        # the final filter, or the neg/pos split): materialize once so
+        # a lazy nondeterministic upstream (limit over a parallel read,
+        # a sample) cannot hand DIFFERENT rows to the two passes — rows
+        # missing from the first pass never enter the positive set, are
+        # never looked up in the corpus, and leak out as phantom
+        # "unseen" rows (measured: a limit(50k) frontier over a 1M
+        # corpus returned 28k-46k unseen rows, varying across runs,
+        # where the true answer is 0)
+        new_ds = new_ds.materialize()
     if bloom is None:
         bloom = build_bloom(
             corpus_ds, col, n_expected, fpp=fpp, n_shards=n_shards, seed=seed

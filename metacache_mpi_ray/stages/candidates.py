@@ -545,7 +545,12 @@ def ambiguity_filter(ds, key_col: str, source_col: str, max_sources: int):
     across many sources/domains is non-discriminative, independent of
     its raw SIZE (the D3 cap). Two grouped aggregates (the distinct
     count comes from grouping (key, source) pairs first), then a
-    broadcast anti-filter with the small ambiguous-key list."""
+    broadcast anti-filter with the small ambiguous-key list.
+
+    ``ds`` is consumed twice (census + anti-filter) without
+    materializing (it is corpus-sized); its lineage must be
+    deterministic across executions — materialize limit/sample inputs
+    first (see stages/bloom.filter_unseen for the failure mode)."""
     import ray
 
     pairs = ds.groupby([key_col, source_col]).aggregate(Count(alias_name="__n"))

@@ -227,6 +227,13 @@ def remove_boilerplate_lines(
     hash-partitioned left-outer join of the exploded lines against the
     hot table and reassembles with a sort + segment kernel; 'auto'
     picks by removal-set size (count x 8 bytes vs ``broadcast_limit``).
+
+    ``docs`` is consumed TWICE (line census + rewrite) and is
+    corpus-sized, so it is NOT materialized here; its lineage must be
+    deterministic across executions (parquet reads + map_batches are;
+    ``limit`` over a parallel read or an unseeded sample is not —
+    materialize such inputs first, or the census and the rewrite see
+    different rows).
     """
     if strategy not in ("auto", "broadcast", "join"):
         raise ValueError(

@@ -139,3 +139,35 @@ def test_filter_unseen_join_path_no_positives():
         new, corpus, "key", n_expected=300, strategy="join"
     ).to_pandas()
     assert len(out) == 2
+
+
+def test_filter_unseen_consumes_new_ds_once(tmp_path):
+    """filter_unseen's exact paths read new_ds more than once logically;
+    the rows seen by every pass must be IDENTICAL even when the input
+    lineage is nondeterministic across executions (e.g. limit over a
+    parallel read). Regression: a 1M-corpus frontier via limit() leaked
+    28k-46k phantom 'unseen' rows that varied across runs. The flaky
+    map below emits a corpus key only from the SECOND execution on — if
+    new_ds were re-executed per pass, that key would miss the
+    positive-set pass and leak out as unseen."""
+    import os
+
+    corpus = _corpus_ds(300)
+    marker = str(tmp_path / "first_exec")
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            return t.filter(pa.array(t["key"].to_numpy() != 17))
+        return t
+
+    # corpus keys are i*7+3: 3, 10, 17 are all present in the corpus
+    new = (
+        ray.data.from_arrow(
+            pa.table({"key": pa.array([3, 10, 17], type=pa.int64())})
+        )
+        .map_batches(flaky, batch_format="pyarrow")
+    )
+    out = filter_unseen(new, corpus, "key", n_expected=300).to_pandas()
+    # every emitted key is in the corpus: nothing unseen
+    assert len(out) == 0
