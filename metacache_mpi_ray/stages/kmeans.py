@@ -272,7 +272,7 @@ def cell_histogram(assigned):
 def semantic_dedup(
     embeddings,
     *,
-    n_cells: int = 64,
+    n_cells: int | None = None,
     sim_threshold: float = 0.95,
     iters: int = 8,
     seed: int = 3,
@@ -290,11 +290,21 @@ def semantic_dedup(
     component, ``is_dup`` = member of a semantic-duplicate component
     (representatives included). The SemDeDup prune set is
     ``is_dup AND vec_id != cluster_id``.
+
+    ``n_cells=None`` auto-sizes to ``max(64, n / (cap / 4))`` so the
+    MEAN cell stays well under the all-pairs cap: at a fixed 64 cells a
+    1M-vector corpus averages 15,625 vectors/cell — every cell exceeds
+    the cap and the candidate stage silently emits NOTHING. 64 is the
+    floor so sf-scale corpora (and their oracles) keep the old default
+    exactly.
     """
     from metacache_mpi_ray.stages.candidates import bucket_all_pairs, unique_pairs
     from metacache_mpi_ray.stages.cluster import assign_clusters
     from metacache_mpi_ray.stages.verify import verify_pairs_payload
 
+    if n_cells is None:
+        n = embeddings.count()
+        n_cells = int(max(64, np.ceil(n / max(cap / 4, 1.0))))
     cent = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
