@@ -106,6 +106,63 @@ def minhash_matrix(
     return minhash_from_shingles(hashes, offsets, cfg.n_perms, a, b)
 
 
+_MODP = 1_000_000_007
+
+
+def modp_perm_constants(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Small affine-permutation constants a in [1, p-1], b in [0, p-1]
+    for the SQL-reproducible mod-p MinHash variant. Derived from the
+    same splitmix64 stream as the production u64 permutations so the
+    DuckDB oracle can embed them as literals (int64)."""
+    a64, b64 = minhash_perm_constants(n_perms, seed)
+    a = (a64 % U64(_MODP - 1)).astype(np.int64) + 1
+    b = (b64 % U64(_MODP)).astype(np.int64)
+    return a, b
+
+
+def token_modp_signature_batch(
+    batch: pa.Table, n_perms: int = 16, seed: int = 0
+) -> pa.Table:
+    """SQL-exact MinHash signatures over whitespace tokens: tokens =
+    split(text, ' ') (empty tokens kept, matching DuckDB string_split),
+    token hash = polynomial hash mod p (base 131), signature value =
+    min over tokens of (a_i * x + b_i) — NO modulus on the affine step,
+    so a_i, x < p ~ 2^30 keeps every product < 2^60: the exact same
+    ``minhash_from_shingles`` kernel the flagship signer uses runs it
+    with zero u64 wraparound, and DuckDB reproduces it in BIGINT.
+    Output rows (doc_id, perm_id, min_hash) — the signature matrix
+    exploded for order-insensitive value hashing."""
+    import pyarrow.compute as pc
+
+    from metacache_mpi_ray.functions.hashing import arrow_string_buffer
+    from metacache_mpi_ray.stages.textstats import modp_poly_hash
+
+    toks = pc.split_pattern(batch["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    data, starts, ends = arrow_string_buffer(flat)
+    token_hashes = modp_poly_hash(data, starts, ends).astype(U64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    a, b = modp_perm_constants(n_perms, seed)
+    sig = minhash_from_shingles(
+        token_hashes, offsets, n_perms, a.astype(U64), b.astype(U64)
+    )
+    n = len(counts)
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_perms
+    )
+    perm_ids = np.tile(np.arange(n_perms, dtype=np.int64), n)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "perm_id": pa.array(perm_ids, type=pa.int64()),
+            "min_hash": pa.array(sig.reshape(-1).astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def sig_to_arrow(sig: np.ndarray) -> pa.FixedSizeListArray:
     """(n, P) u64 matrix -> fixed_size_list<uint64, P> column (zero-copy)."""
     n, p = sig.shape

@@ -143,24 +143,16 @@ def _mod_powers(maxlen: int) -> np.ndarray:
     return pw[: maxlen + 1]
 
 
-def fingerprint_mod_batch(batch: pa.Table) -> pa.Table:
-    """SQL-reproducible content fingerprint: classic polynomial hash
-    fp = sum(byte[j] * B^(L-1-j)) mod p over the raw text bytes, same
-    zero-copy buffer plumbing as ``fingerprint_batch`` but with
-    arithmetic a DuckDB oracle replicates exactly (recursive-CTE power
-    table + one grouped sum). Per-term products < 2^38 and per-doc sums
-    < 2^43, so everything stays in exact int64."""
-    from metacache_mpi_ray.functions.hashing import arrow_string_buffer
-
-    data, starts, ends = arrow_string_buffer(batch["text"])
+def modp_poly_hash(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-segment polynomial hash sum(byte[j] * B^(L-1-j)) mod p over
+    raw bytes, fully vectorized. Segments may be empty (hash 0).
+    Per-term products < 2^38 and per-segment sums < 2^43: exact int64."""
     lens = (ends - starts).astype(np.int64)
     n = len(lens)
     total = int(lens.sum())
+    sums = np.zeros(n, dtype=np.int64)
     if total == 0:
-        return pa.table(
-            {"doc_id": batch["doc_id"],
-             "fingerprint": pa.array(np.zeros(n, dtype=np.int64))}
-        )
+        return sums
     pw = _mod_powers(int(lens.max()))
     seg0 = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
     within = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens)
@@ -171,12 +163,24 @@ def fingerprint_mod_batch(batch: pa.Table) -> pa.Table:
     # boundaries into range would truncate the PREVIOUS doc's segment
     # whenever the batch ends with empty texts (r3 review finding)
     nz = lens > 0
-    sums = np.zeros(n, dtype=np.int64)
     if nz.any():
         sums[nz] = np.add.reduceat(terms, seg0[nz])
+    return sums % _FP_P
+
+
+def fingerprint_mod_batch(batch: pa.Table) -> pa.Table:
+    """SQL-reproducible content fingerprint: classic polynomial hash of
+    the raw text bytes, same zero-copy buffer plumbing as
+    ``fingerprint_batch`` but with arithmetic a DuckDB oracle replicates
+    exactly (recursive-CTE power table + one grouped sum)."""
+    from metacache_mpi_ray.functions.hashing import arrow_string_buffer
+
+    data, starts, ends = arrow_string_buffer(batch["text"])
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "fingerprint": pa.array(sums % _FP_P, type=pa.int64()),
+            "fingerprint": pa.array(
+                modp_poly_hash(data, starts, ends), type=pa.int64()
+            ),
         }
     )
