@@ -403,7 +403,7 @@ def embedding_near_dup(
     *,
     sim_threshold: float = 0.95,
     n_planes: int | None = None,
-    n_tables: int = 4,
+    n_tables: int | None = None,
     seed: int = 7,
     cap: int = 512,
     num_partitions: int = 16,
@@ -416,10 +416,14 @@ def embedding_near_dup(
     verified by exact cosine via a vectorized pairwise check after a
     signature join on the packed vectors.
 
-    ``n_planes=None`` auto-sizes from the corpus (see _auto_planes) and
-    adds one extra table per 3 extra planes so multi-table recall holds
-    as per-table collision probability drops; exact duplicates always
-    collide regardless of plane count.
+    ``n_planes=None`` auto-sizes from the corpus (see _auto_planes).
+    ``n_tables=None`` auto-sizes with it: 4 tables at the 12-plane
+    floor, +1 per 2 extra planes. Candidate recall for pairs sitting AT
+    sim_threshold=0.95 (per-plane collision ~0.899): 12 planes/4 tables
+    ~0.73; 17 planes (1M rows) would drop to ~0.59 with one table per
+    3 planes, the +1/2-planes rate holds ~0.66 (r3 advice). Pairs above
+    threshold collide more; exact duplicates always collide. An
+    EXPLICITLY passed n_tables is respected verbatim, never bumped.
     """
     from metacache_mpi_ray.stages.candidates import bucket_all_pairs, unique_pairs
 
@@ -427,7 +431,10 @@ def embedding_near_dup(
     embeddings = embeddings.materialize()
     if n_planes is None:
         n_planes = _auto_planes(embeddings.count())
-        n_tables = max(n_tables, 4 + max(0, (n_planes - 12) // 3))
+        if n_tables is None:
+            n_tables = 4 + max(0, (n_planes - 12) // 2)
+    if n_tables is None:
+        n_tables = 4
 
     def emit_codes(batch: pa.Table) -> pa.Table:
         ids, raw = _valid_emb(batch)  # null rows can never near-dup

@@ -303,6 +303,11 @@ def semantic_dedup(
     from metacache_mpi_ray.stages.verify import verify_pairs_payload
 
     if n_cells is None:
+        # materialize before count(): the lineage is consumed again by
+        # fit, assign, and the verify extract — without this, count()
+        # adds a full extra execution and inherits the
+        # nondeterministic-lineage hazard (matches embedding_near_dup)
+        embeddings = embeddings.materialize()
         n = embeddings.count()
         n_cells = int(max(64, np.ceil(n / max(cap / 4, 1.0))))
     cent = (

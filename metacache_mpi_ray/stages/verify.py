@@ -259,7 +259,13 @@ def verify_pairs_payload(
     Contract: ``table`` carries ONE fixed-width payload row per id —
     the broadcast scorer's sorted-id lookup and the width peek below
     both assume it (duplicate ids would silently score against an
-    arbitrary one of their rows on any path).
+    arbitrary one of their rows on any path). ``edges`` must carry
+    DISTINCT (a, b) rows: the join fallback dedupes them as a
+    side-effect of its shuffle-size pruning while the broadcast path
+    scores every input row, so duplicate edges would return different
+    output multiplicities depending on which side of the auto size
+    switch the call lands on. Pre-dedupe with
+    ``candidates.unique_pairs`` (every in-repo caller does).
     ``auto`` broadcasts the edge-endpoint subset when it fits in
     ``broadcast_bytes_limit`` (measured while streaming — the collection
     aborts the moment it can't fit) and otherwise falls back to two hash
@@ -468,6 +474,7 @@ def verify_edges(
 ):
     """edges(a, b, ...) x signatures(doc_id, sig) -> (a, b, est_sim) for
     pairs whose estimated Jaccard clears the verification threshold.
+    Edges must be distinct (a, b) rows — see ``verify_pairs_payload``.
 
     ``auto`` decides by the actual broadcast payload — the dup-subset
     signature matrix (#distinct endpoints x n_perms x 8 bytes) — not by

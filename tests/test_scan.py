@@ -102,6 +102,26 @@ def test_budget_sample_scalar_and_dict():
     assert not (got["g"] == 2).any()  # zero budget keeps nothing
 
 
+def test_budget_sample_multi_column_groups_and_unseen():
+    """Composite (g, lang) budget keys via the Arrow index_in codes
+    path; groups absent from the budget dict keep nothing."""
+    df = pd.DataFrame(
+        {
+            "g": [0, 0, 0, 1, 1, 2, 2],
+            "lang": ["en", "en", "de", "en", "de", "en", "en"],
+            "o": [1, 2, 3, 4, 5, 6, 7],
+            "v": [10, 10, 10, 10, 10, 10, 10],
+        }
+    )
+    budgets = {(0, "en"): 20, (0, "de"): 0, (1, "en"): 10}
+    got = budget_sample(
+        rd.from_pandas(df).repartition(3), ["g", "lang"], ["o"], "v", budgets
+    ).to_pandas()
+    # (0,en): both rows fit; (0,de): budget 0; (1,en): first row only;
+    # (1,de) and (2,en): unseen -> budget 0
+    assert sorted(got["o"]) == [1, 2, 4]
+
+
 def test_budget_sample_deterministic_across_partitioning():
     rng = np.random.default_rng(12)
     df = _rand_frame(rng, 250, 3)
