@@ -8,14 +8,17 @@ bounded by the maxcand candidate list. This is THE daily operation of a
 training-data pipeline: dedup a new crawl batch against the existing
 corpus index without re-processing the corpus.
 
-Ray-Data shape: the persisted artifacts are the signature and cluster
-Parquet checkpoints written by ``build_index`` (or by
+Ray-Data shape: the persisted artifacts are the band-key, signature and
+cluster Parquet checkpoints written by ``build_index`` (or by
 ``pipelines/checkpointed.run_dedup_checkpointed`` — same layout). The
-query side re-derives LSH bands from the stored signatures (cheap
-reshape+hash; at extreme scale persist the bands too), hash-joins new
-bands against stored bands on the folded band key, verifies candidate
-pairs against the union of signatures, and resolves each matched new
-doc to the minimum matched stored cluster.
+query side probes the persisted band table directly (one range shuffle
+of stored+new band rows — zero corpus-signature reads on the probe),
+then verifies candidate pairs against a FOOTER-PRUNED read of the
+doc_id-sorted signature checkpoint (only files whose id range
+intersects the candidate endpoints are touched), and resolves each
+matched new doc to the minimum matched stored cluster. Each probe
+appends a telemetry row (candidate/verified/matched counts, files
+pruned) to the index root's metrics.jsonl.
 
 doc_ids must be disjoint between the index corpus and the query batch
 (ids are content-derived hashes of distinct urls in the ingest path).
@@ -74,12 +77,18 @@ def build_index(
     # right-sizes both the checkpoint files (one per partition, the
     # resumable layout) and every downstream sort/groupby, which pay
     # per-input-block fixed costs (see pipelines/dedup.py)
+    # doc_id-sorted: each checkpoint file then covers a narrow id range
+    # (tight parquet footer min/max stats), so the query path's verify
+    # stage can prune whole files by candidate-id intersection instead
+    # of re-reading the full corpus signature table per query batch
+    # (the reference's per-rank DB artifact IS the random-access index,
+    # sketch_database.h:959-999)
     sigs = checkpointed_stage(
         ckpt_root,
         "signatures",
-        lambda: compute_signatures(docs, cfg, batch_size=128).repartition(
-            num_partitions
-        ),
+        lambda: compute_signatures(docs, cfg, batch_size=128)
+        .repartition(num_partitions)
+        .sort("doc_id"),
     )
     # the queryable band table (bkey, doc_id) is part of the persisted
     # index — queries probe it directly instead of re-banding millions
@@ -144,6 +153,58 @@ def _read_stage(ckpt_root: str, stage: str, columns=None):
     if not files:
         raise FileNotFoundError(f"no checkpointed stage {stage!r} under {ckpt_root}")
     return rd.read_parquet(files, columns=columns)
+
+
+def _pruned_sig_read(ckpt_root: str, ids_sorted: np.ndarray):
+    """Read ONLY the signature checkpoint files whose doc_id footer
+    range intersects ``ids_sorted`` (build_index writes the signatures
+    doc_id-sorted, so each file covers a narrow id range). Files
+    without stats (or an older unsorted index) are kept — pruning is a
+    pure byte-level optimization; exactness always comes from the
+    verify stage's own id filtering. Returns (dataset, n_kept,
+    n_total)."""
+    import pyarrow.parquet as pq
+
+    resume_pending_commit(ckpt_root)
+    files = sorted(
+        glob.glob(
+            os.path.join(ckpt_root, "signatures", "**", "*.parquet"), recursive=True
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"no checkpointed stage 'signatures' under {ckpt_root}")
+    keep = []
+    for f in files:
+        md = pq.read_metadata(f)
+        try:
+            col_idx = [
+                md.row_group(0).column(i).path_in_schema
+                for i in range(md.row_group(0).num_columns)
+            ].index("doc_id") if md.num_row_groups else None
+        except ValueError:
+            col_idx = None
+        take = md.num_row_groups == 0 or col_idx is None
+        for rg in range(md.num_row_groups):
+            if take:
+                break
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                take = True
+                break
+            lo = np.searchsorted(ids_sorted, st.min, side="left")
+            hi = np.searchsorted(ids_sorted, st.max, side="right")
+            if hi > lo:
+                take = True
+        if take:
+            keep.append(f)
+    # nothing intersects: read one file for a schema-stable empty-ish
+    # dataset (verify filters it away)
+    read = keep or files[:1]
+    return (
+        rd.read_parquet(read, columns=["doc_id", "sig"]),
+        len(keep),
+        len(files),
+    )
 
 
 def _band_keys(sigs, cfg: DedupConfig, id_out: str):
@@ -511,8 +572,13 @@ def query_against_index(
             "signatures are not comparable across configs"
         )
     cfg = stored_cfg
+    import time as _time
 
-    sigs_idx = _read_stage(ckpt_root, "signatures", columns=["doc_id", "sig"])
+    from metacache_mpi_ray.state.metrics import MetricsRecorder
+
+    metrics = MetricsRecorder(ckpt_root)
+    t0 = _time.time()
+
     sigs_new = compute_signatures(new_docs, cfg, batch_size=128).materialize()
 
     try:
@@ -522,7 +588,11 @@ def query_against_index(
     except FileNotFoundError:
         # index built by an older writer without a bands artifact:
         # derive them from the stored signatures
-        bands_idx = _band_keys(sigs_idx, cfg, "idx_id")
+        bands_idx = _band_keys(
+            _read_stage(ckpt_root, "signatures", columns=["doc_id", "sig"]),
+            cfg,
+            "idx_id",
+        )
     bands_new = _band_keys(sigs_new, cfg, "new_id")
 
     # the probe: ONE sort-shuffle over the union of stored and new band
@@ -559,12 +629,35 @@ def query_against_index(
         cfg.bucket_cap,
         probe_batch_size=probe_batch_size,
         num_partitions=num_partitions,
-    )
-
-    sigs_all = sigs_new.select_columns(["doc_id", "sig"]).union(sigs_idx)
-    verified = verify_edges(
-        pairs, sigs_all, cfg, num_partitions=num_partitions
     ).materialize()
+    n_pairs = pairs.count()
+
+    # verify reads ONLY the signature files whose footer id range
+    # intersects the candidate stored endpoints (b side) — at scale the
+    # per-batch verify cost tracks the candidate set, not the corpus.
+    # Zero candidates -> zero corpus-signature bytes read.
+    sig_files_read = sig_files_total = 0
+    if n_pairs == 0:
+        verified = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "est_sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    else:
+        stored_ids = ray.get(
+            _assemble_sorted_unique.remote("b", *(pairs.to_arrow_refs() or []))
+        )
+        sigs_idx, sig_files_read, sig_files_total = _pruned_sig_read(
+            ckpt_root, stored_ids
+        )
+        sigs_all = sigs_new.select_columns(["doc_id", "sig"]).union(sigs_idx)
+        verified = verify_edges(
+            pairs, sigs_all, cfg, num_partitions=num_partitions
+        ).materialize()
 
     # matched stored docs -> their cluster ids: broadcast-pick the
     # matched subset of the clusters checkpoint (dup-subset pattern);
@@ -622,15 +715,32 @@ def query_against_index(
     # nothing matched -> the empty groupby loses its schema on
     # to_pandas(); rebuild the expected columns
     match_tbl = ensure_columns(match_tbl, ["new_id", "matched_cluster_id"])
+    # telemetry (r3 verdict item 9): one metrics.jsonl row per probe
+    # with the band-overlap/verified/matched counts, so any recurrence
+    # of the session-9 anomaly (verified pairs present, zero match
+    # rows) is diagnosable post-hoc from the index root alone
+    n_verified = verified.count()
+    row = metrics.record(
+        "query_probe",
+        rows_out=len(match_tbl),
+        t_start=t0,
+        n_candidate_pairs=n_pairs,
+        n_verified=n_verified,
+        n_matched_new_docs=len(match_tbl),
+        sig_files_read=sig_files_read,
+        sig_files_total=sig_files_total,
+        status="inconsistent" if (len(match_tbl) == 0 and n_verified > 0) else "ok",
+    )
     # impossible-state guard: every verified pair carries a new_id, so a
     # non-empty verified table MUST yield match rows. Crash loudly
     # rather than return an all-unmatched result (a silent all-False
     # was observed once in a deeply-throttled window, BASELINE.md
     # session-9 — this converts any recurrence into a diagnosable error)
-    if len(match_tbl) == 0 and verified.count() > 0:
+    if row["status"] == "inconsistent":
         raise RuntimeError(
             "internal inconsistency: verified candidate pairs exist but "
-            "cluster resolution produced no matches; re-run the query"
+            "cluster resolution produced no matches; re-run the query "
+            f"(metrics.jsonl run_id={metrics.run_id})"
         )
     m_ids = match_tbl["new_id"].to_numpy(dtype=np.int64)
     order = np.argsort(m_ids)

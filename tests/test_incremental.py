@@ -122,6 +122,73 @@ def test_query_all_fresh_batch_matches_nothing(index_root):
     assert (out["matched_cluster_id"] == -1).all()
 
 
+def test_query_probe_telemetry_and_sig_pruning(index_root):
+    """Every query_against_index run appends a metrics.jsonl row with
+    the candidate/verified/matched counts (r3 verdict item 9), and the
+    verify stage's signature read is footer-pruned: a batch with zero
+    candidate pairs reads ZERO corpus-signature files."""
+    import json
+    import os
+
+    root, _, corpus_dir = index_root
+    mpath = os.path.join(root, "metrics.jsonl")
+
+    def probe_rows():
+        if not os.path.exists(mpath):
+            return []
+        with open(mpath) as f:
+            return [
+                json.loads(l) for l in f if '"query_probe"' in l
+            ]
+
+    before = len(probe_rows())
+    # alien-alphabet batch: no shingle overlap -> zero candidate pairs
+    fresh = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(40_000_000, 40_000_006), type=pa.int64()),
+                    "text": pa.array(
+                        [f"jjqv{i} xxwp{i} " * 40 for i in range(6)],
+                        type=pa.string(),
+                    ),
+                }
+            )
+        )
+    )
+    out = query_against_index(fresh, root, num_partitions=4).to_pandas()
+    assert not out["matched"].any()
+    rows = probe_rows()
+    assert len(rows) == before + 1
+    r = rows[-1]
+    assert r["status"] == "ok"
+    assert r["n_candidate_pairs"] == 0
+    assert r["n_verified"] == 0
+    assert r["n_matched_new_docs"] == 0
+    assert r["sig_files_read"] == 0  # zero corpus-signature bytes
+
+    # a matching batch must verify and read at least one (but only
+    # intersecting) signature files
+    pages = rd.read_parquet(f"{corpus_dir}/pages").to_pandas()
+    copy = pages[pages["text"].notna()].head(3)
+    match_docs = ingest_documents(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(41_000_000, 41_000_003), type=pa.int64()),
+                    "text": pa.array(list(copy["text"]), type=pa.string()),
+                }
+            )
+        )
+    )
+    out2 = query_against_index(match_docs, root, num_partitions=4).to_pandas()
+    assert out2["matched"].any()
+    r2 = probe_rows()[-1]
+    assert r2["n_candidate_pairs"] > 0
+    assert r2["n_verified"] > 0
+    assert 1 <= r2["sig_files_read"] <= r2["sig_files_total"]
+
+
 def test_query_refuses_config_mismatch(index_root):
     root, _, _ = index_root
     other = DedupConfig(sim_threshold=0.9)
