@@ -21,11 +21,12 @@ Design (scale notes):
   (Kirsch–Mitzenmacher, public technique) with numpy gathers.
 - **Sizing**: a Bloom filter is O(n) bits, so a single broadcastable
   filter covers frontiers up to ~10^10 keys on 128 GiB nodes
-  (~12 GB at fpp 1%). Beyond that the same sharded layout degrades
-  gracefully to a shard-keyed shuffle probe (each probe row routed to
-  the actor owning its shard) — the identical topology the
-  incremental band-table probe in ``pipelines/incremental.py``
-  already implements, so no new machinery is needed at that scale.
+  (~12 GB at fpp 1%). Past ``bitmap_broadcast_limit`` the build and
+  probe degrade automatically to the shard-keyed path
+  (``ShardedBloomFilter``): slices live as separate object refs and
+  probe rows are range-shuffled to their shard — the incremental
+  band-table probe topology, with per-task memory bounded by the
+  slices a batch touches.
 - **Exactness**: ``filter_unseen`` uses the filter only to PRUNE. A
   bloom negative is definitely-new; the (rare) positives are
   exact-verified against the corpus keys with a broadcast semi-join
@@ -115,6 +116,116 @@ class BloomFilter:
         return res
 
 
+@dataclass(frozen=True)
+class ShardedBloomFilter:
+    """Degrade path past the broadcast limit (~10^10 keys): the shard
+    bitmap slices stay in the object store as SEPARATE refs — the full
+    bitmap is never assembled on the driver or shipped as one object.
+    Probes route rows to their shard (one range shuffle on the shard
+    key, the incremental band-probe topology) so each probe task pulls
+    only the slices its rows touch."""
+
+    shard_refs: tuple  # ObjectRef per shard -> (m_shard // 64,) uint64
+    m_shard: int
+    k: int
+    seed: int
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shard_refs)
+
+    def shard_of(self, h1: np.ndarray) -> np.ndarray:
+        return (mix2(h1, _SHARD_MIX) % U64(self.n_shards)).astype(np.int64)
+
+
+def _test_bits(w: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, m_shard: int) -> np.ndarray:
+    """k double-hashed bit tests against ONE shard slice ``w``."""
+    m = U64(m_shard)
+    res = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        pos = (h1 + U64(i) * h2) % m
+        word = w[(pos >> U64(6)).astype(np.int64)]
+        res &= (word >> (pos & U64(63))) & U64(1) == U64(1)
+    return res
+
+
+@ray.remote
+def _put_shard_slices(tab: pa.Table):
+    """Re-put each shard bitmap as its own object IN A TASK — the
+    bytes go block -> object store without touching the driver heap."""
+    out = []
+    for i in range(len(tab)):
+        sh = tab["shard"][i].as_py()
+        w = np.frombuffer(tab["bits"][i].as_py(), dtype=U64)
+        out.append((int(sh), ray.put(w)))
+    return out
+
+
+def build_bloom_sharded(
+    ds,
+    col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    n_shards: int | None = None,
+    seed: int = 101,
+    max_shard_bytes: int = 256 << 20,
+) -> ShardedBloomFilter:
+    """Build the shard-slice filter. Same one-key-shuffle build as
+    ``build_bloom`` (never a bitmap shuffle); the only difference is
+    assembly — per-shard slices are re-put as separate objects instead
+    of collected into one matrix. ``n_shards`` auto-sizes so each
+    slice stays under ``max_shard_bytes``."""
+    m_total, k = bloom_params(n_expected, fpp)
+    if n_shards is None:
+        n_shards = max(16, -(-(m_total // 8) // max_shard_bytes))
+    m_shard = -(-m_total // n_shards)
+    m_shard = ((m_shard + 63) // 64) * 64
+    m_words = m_shard // 64
+
+    def emit(t: pa.Table) -> pa.Table:
+        h1, h2 = key_hashes(t, col, seed)
+        sh = (mix2(h1, _SHARD_MIX) % U64(n_shards)).astype(np.int32)
+        return pa.table({"shard": sh, "h1": h1, "h2": h2})
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False).view(U64)
+        h2 = g["h2"].to_numpy(zero_copy_only=False).view(U64)
+        w = np.zeros(m_words, dtype=U64)
+        m = U64(m_shard)
+        for i in range(k):
+            pos = (h1 + U64(i) * h2) % m
+            np.bitwise_or.at(
+                w, (pos >> U64(6)).astype(np.int64), U64(1) << (pos & U64(63))
+            )
+        return pa.table(
+            {
+                "shard": pa.array([int(g["shard"][0].as_py())], type=pa.int32()),
+                "bits": pa.array([w.tobytes()], type=pa.binary()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+        .materialize()
+    )
+    refs: list = [None] * n_shards
+    for blk in rows.to_arrow_refs():
+        for sh, r in ray.get(_put_shard_slices.remote(blk)):
+            refs[sh] = r
+    # shards that saw no keys share ONE all-zero slice
+    zero_ref = None
+    for i in range(n_shards):
+        if refs[i] is None:
+            if zero_ref is None:
+                zero_ref = ray.put(np.zeros(m_words, dtype=U64))
+            refs[i] = zero_ref
+    return ShardedBloomFilter(
+        shard_refs=tuple(refs), m_shard=m_shard, k=k, seed=seed
+    )
+
+
 def build_bloom(
     ds,
     col: str,
@@ -168,9 +279,13 @@ def build_bloom(
     return BloomFilter(bits=bits, m_shard=m_shard, k=k, seed=seed)
 
 
-def probe_bloom(ds, bloom: BloomFilter, col: str, out_col: str = "might_seen"):
+def probe_bloom(ds, bloom, col: str, out_col: str = "might_seen"):
     """Append a boolean bloom-membership column (approximate: false
-    positives at the filter's fpp, never false negatives)."""
+    positives at the filter's fpp, never false negatives). Accepts a
+    ``BloomFilter`` (whole-filter broadcast) or a
+    ``ShardedBloomFilter`` (shard-routed probe — see below)."""
+    if isinstance(bloom, ShardedBloomFilter):
+        return _probe_bloom_sharded(ds, bloom, col, out_col)
     ref = ray.put(bloom)
 
     def f(t: pa.Table) -> pa.Table:
@@ -179,6 +294,48 @@ def probe_bloom(ds, bloom: BloomFilter, col: str, out_col: str = "might_seen"):
         return t.append_column(out_col, pa.array(b.might_contain(h1, h2)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _probe_bloom_sharded(ds, sb: ShardedBloomFilter, col: str, out_col: str):
+    """Shard-keyed probe: rows are range-shuffled on their shard id so
+    each batch is a run of a few shards, and the batch kernel pulls
+    ONLY those shards' bitmap slices from the object store. Worker
+    memory = touched slices, not the filter; no single object ever
+    carries the whole bitmap. Output row order follows the shard sort
+    (Dataset contract: order is not part of probe semantics)."""
+    refs = sb.shard_refs
+    k, m_shard, seed, n_shards = sb.k, sb.m_shard, sb.seed, sb.n_shards
+
+    def tag(t: pa.Table) -> pa.Table:
+        h1, h2 = key_hashes(t, col, seed)
+        sh = (mix2(h1, _SHARD_MIX) % U64(n_shards)).astype(np.int64)
+        return (
+            t.append_column("__shard", pa.array(sh, type=pa.int64()))
+            .append_column("__h1", pa.array(h1.view(np.int64), type=pa.int64()))
+            .append_column("__h2", pa.array(h2.view(np.int64), type=pa.int64()))
+        )
+
+    def test(t: pa.Table) -> pa.Table:
+        sh = t["__shard"].to_numpy(zero_copy_only=False)
+        h1 = t["__h1"].to_numpy(zero_copy_only=False).view(U64)
+        h2 = t["__h2"].to_numpy(zero_copy_only=False).view(U64)
+        res = np.zeros(len(sh), dtype=bool)
+        # sorted stream -> contiguous shard runs; one slice fetch per run
+        if len(sh):
+            starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+            bounds = np.append(starts, len(sh))
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                w = ray.get(refs[int(sh[s0])])
+                res[s0:s1] = _test_bits(w, h1[s0:s1], h2[s0:s1], k, m_shard)
+        return t.drop_columns(["__shard", "__h1", "__h2"]).append_column(
+            out_col, pa.array(res)
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .sort("__shard")
+        .map_batches(test, batch_format="pyarrow")
+    )
 
 
 def filter_unseen(
@@ -190,10 +347,11 @@ def filter_unseen(
     n_shards: int = 16,
     seed: int = 101,
     mode: str = "exact",
-    bloom: BloomFilter | None = None,
+    bloom: "BloomFilter | ShardedBloomFilter | None" = None,
     strategy: str = "auto",
     broadcast_bytes_limit: int = 2 << 30,
     n_new: int | None = None,
+    bitmap_broadcast_limit: int = 2 << 30,
 ):
     """Rows of ``new_ds`` whose key does not appear in ``corpus_ds``.
 
@@ -218,6 +376,13 @@ def filter_unseen(
     documented fpp (a false positive drops a genuinely-new row; never
     the reverse). ``n_new`` (row-count hint for ``auto``) avoids a
     count() execution of ``new_ds`` when the caller already knows it.
+
+    When the filter bitmap itself would exceed
+    ``bitmap_broadcast_limit`` bytes (n_expected past ~10^10 keys at
+    1% fpp on default limits), the build/probe degrade to the
+    shard-keyed path automatically: slices stay as separate object
+    refs and probes route rows to their shard — identical results,
+    bounded worker memory.
     """
     if mode != "approx":
         # the exact paths consume new_ds TWICE (positive-set emission +
@@ -231,9 +396,76 @@ def filter_unseen(
         # where the true answer is 0)
         new_ds = new_ds.materialize()
     if bloom is None:
-        bloom = build_bloom(
-            corpus_ds, col, n_expected, fpp=fpp, n_shards=n_shards, seed=seed
+        m_total, _k = bloom_params(n_expected, fpp)
+        if m_total // 8 > bitmap_broadcast_limit:
+            bloom = build_bloom_sharded(
+                corpus_ds, col, n_expected, fpp=fpp, seed=seed
+            )
+        else:
+            bloom = build_bloom(
+                corpus_ds, col, n_expected, fpp=fpp, n_shards=n_shards, seed=seed
+            )
+
+    if isinstance(bloom, ShardedBloomFilter):
+        # shard-keyed degrade path: membership marks come from the
+        # shard-routed probe; everything downstream (exact verify /
+        # join) consumes the marked rows, never the filter itself
+        marked = probe_bloom(new_ds, bloom, col, "__might")
+        if mode == "approx":
+            return marked.map_batches(
+                lambda t: t.filter(pc.invert(t["__might"])).drop_columns(
+                    ["__might"]
+                ),
+                batch_format="pyarrow",
+            )
+        marked = marked.materialize()
+        if strategy == "auto":
+            est = n_new if n_new is not None else new_ds.count()
+            strategy = "broadcast" if est * 8 <= broadcast_bytes_limit else "join"
+        if strategy == "join":
+            from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+
+            out_cols = [c for c in marked.schema().names if c != "__might"]
+            neg = marked.map_batches(
+                lambda t: t.filter(pc.invert(t["__might"])).drop_columns(
+                    ["__might"]
+                ),
+                batch_format="pyarrow",
+            )
+
+            def pos_h1(t: pa.Table) -> pa.Table:
+                t = t.filter(t["__might"]).drop_columns(["__might"])
+                h1, _ = key_hashes(t, col, seed)
+                return t.append_column("_h1", pa.array(h1.view(np.int64)))
+
+            base = pa.schema(
+                [marked.schema().base_schema.field(c) for c in out_cols]
+            )
+            pos_ds = drop_empty_blocks(
+                marked.map_batches(pos_h1, batch_format="pyarrow").materialize(),
+                schema=base.append(pa.field("_h1", pa.int64())),
+            )
+            return _anti_join_positives(neg, pos_ds, corpus_ds, col, seed, out_cols)
+
+        def emit_pos_sharded(t: pa.Table) -> pa.Table:
+            h1, _ = key_hashes(t, col, seed)
+            return pa.table(
+                {"h1": np.unique(h1[t["__might"].to_numpy(zero_copy_only=False)])}
+            )
+
+        pos = np.unique(
+            np.concatenate(
+                [
+                    b["h1"].to_numpy(zero_copy_only=False).view(U64)
+                    for b in marked.map_batches(
+                        emit_pos_sharded, batch_format="pyarrow"
+                    ).iter_batches(batch_size=None, batch_format="pyarrow")
+                ]
+                or [np.empty(0, dtype=U64)]
+            )
         )
+        return _verify_positives_broadcast(new_ds, corpus_ds, col, seed, pos)
+
     bref = ray.put(bloom)
 
     if mode == "approx":
@@ -268,6 +500,13 @@ def filter_unseen(
             or [np.empty(0, dtype=U64)]
         )
     )
+    return _verify_positives_broadcast(new_ds, corpus_ds, col, seed, pos)
+
+
+def _verify_positives_broadcast(new_ds, corpus_ds, col: str, seed: int, pos: np.ndarray):
+    """Exact-verify bloom positives: one corpus key-column scan against
+    the broadcast positive set, then one pass over new rows dropping
+    true hits."""
     pos_ref = ray.put(pos)
 
     def emit_found(t: pa.Table) -> pa.Table:
@@ -308,10 +547,7 @@ def _filter_unseen_join(new_ds, corpus_ds, col: str, seed: int, bref):
     """Distributed exact path: negatives stream through untouched;
     positives anti-join the distinct corpus keys (8-byte rows, one
     groupby + one hash join, nothing on the driver)."""
-    from ray.data.aggregate import Count
-
     from metacache_mpi_ray.functions.blocks import drop_empty_blocks
-    from metacache_mpi_ray.stages.joins import large_join
 
     out_cols = list(new_ds.schema().names)
 
@@ -336,6 +572,18 @@ def _filter_unseen_join(new_ds, corpus_ds, col: str, seed: int, bref):
         new_ds.map_batches(split(True), batch_format="pyarrow").materialize(),
         schema=pos_schema,
     )
+    return _anti_join_positives(neg, pos, corpus_ds, col, seed, out_cols)
+
+
+def _anti_join_positives(neg, pos, corpus_ds, col: str, seed: int, out_cols):
+    """Shared tail of the join strategy: ``pos`` rows (carrying their
+    key hash in ``_h1``) anti-join the distinct corpus keys; survivors
+    union with the untouched negatives."""
+    from ray.data.aggregate import Count
+
+    from metacache_mpi_ray.functions.blocks import drop_empty_blocks
+    from metacache_mpi_ray.stages.joins import large_join
+
     if pos.count() == 0:
         return neg  # nothing bloom-positive: every row is new
 
@@ -356,7 +604,8 @@ def _filter_unseen_join(new_ds, corpus_ds, col: str, seed: int, bref):
         return t.filter(pc.is_null(t["_hit"])).select(out_cols)
 
     anti = joined.map_batches(unseen_only, batch_format="pyarrow")
-    anti = drop_empty_blocks(
-        anti.materialize(), schema=new_ds.schema().base_schema
+    base = pa.schema(
+        [pos.schema().base_schema.field(c) for c in out_cols]
     )
+    anti = drop_empty_blocks(anti.materialize(), schema=base)
     return neg.union(anti)
