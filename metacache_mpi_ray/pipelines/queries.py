@@ -1052,6 +1052,62 @@ _NORM_LEN_ORACLE = (
 )
 
 
+def _acc2tax_file(sf_dir: str) -> str:
+    """Deterministic accession2taxid TSV derived from the documents
+    table (header + comment line, the NCBI layout), cached like
+    _docs_textfile."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|acc2tax-v1".encode()
+    ).hexdigest()[:12]
+    import tempfile
+
+    cache_dir = os.path.join(tempfile.gettempdir(), f"metacache-{os.getuid()}")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    path = os.path.join(cache_dir, f"acc2tax_{key}.tsv")
+    if not os.path.exists(path):
+        ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write("# synthetic mapping derived from documents.parquet\n")
+            f.write("accession\taccession.version\ttaxid\tgi\n")
+            for i in ids:
+                f.write(f"DOC{i}\tDOC{i}.1\t{int(i) % 50 + 1}\t{int(i)}\n")
+        os.replace(tmp, path)
+    return path
+
+
+def q_accession_taxid_join(sf_dir: str):
+    """Taxonomy mapping-file reader (S7-S8, taxonomy_io.cpp:190-310):
+    a real accession2taxid TSV (comment line + sniffed header) is read
+    by sources/taxfiles.read_accession2taxid and drives the dimension
+    broadcast join — taxid arithmetic on doc_id makes the result
+    SQL-closed-form."""
+    from metacache_mpi_ray.sources.taxfiles import read_accession2taxid
+
+    mapping = read_accession2taxid(_acc2tax_file(sf_dir)).to_pandas()
+    docs = _documents(sf_dir, columns=["doc_id"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        key = pc.binary_join_element_wise(
+            "DOC", pc.cast(ids, pa.string()), ".1", ""
+        )
+        return pa.table({"doc_id": ids, "key": key})
+
+    from metacache_mpi_ray.stages.joins import broadcast_join
+
+    joined = broadcast_join(
+        docs.map_batches(add_key, batch_format="pyarrow"), mapping, on="key"
+    )
+    return joined.select_columns(["doc_id", "taxon_id"])
+
+
 def q_csv_ingest(sf_dir: str):
     """CSV source format (S5 format dispatch): the documents table
     round-trips through a real CSV file and the read_docs_csv reader;
@@ -2021,9 +2077,10 @@ QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "merged_dedup_runs": q_merged_dedup_runs,
     "annotated_docs": q_annotated_docs,
-    "sample_docs_hashed": q_sample_docs_hashed,
+    "accession_taxid_join": q_accession_taxid_join,
     # ---- position 50 cutoff: everything below was driver-green in
     # r03 (oracle) or is rows-only with a pytest-pinned oracle twin ----
+    "sample_docs_hashed": q_sample_docs_hashed,
     "boilerplate_removed_join": q_boilerplate_removed_join,
     "clean_pipeline_planted": q_clean_pipeline_planted,
     "decontaminate_join": q_decontaminate_join,
@@ -2313,6 +2370,10 @@ ORACLE_SQL = {
     "lang_id_planted": _lang_id_planted_oracle(),
     "doc_fingerprints_mod": _FINGERPRINT_MOD_ORACLE,
     "minhash_signatures_modp": _minhash_modp_oracle(),
+    "accession_taxid_join": (
+        "SELECT doc_id, CAST(doc_id % 50 + 1 AS BIGINT) AS taxon_id "
+        "FROM documents"
+    ),
     "exact_dedup_groups": (
         "SELECT min(doc_id) AS rep_id, count(*) AS dup_count "
         "FROM documents GROUP BY text"

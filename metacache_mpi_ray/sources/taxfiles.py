@@ -1,0 +1,219 @@
+"""NCBI-style taxonomy dimension-file readers — the analog of the
+reference's taxonomy_io parsers (/root/reference/src/taxonomy_io.cpp:
+56-185 make_taxonomic_hierarchy reading nodes.dmp / names.dmp /
+merged.dmp, and :190-310 read_sequence_to_taxon_id_mapping for
+accession2taxid tables).
+
+Scale shape: nodes/names/merged are DIMENSION files (a few million
+rows at most) — parsed vectorized via pyarrow.csv on the driver and
+broadcast, the same pattern as every other small side in the engine.
+accession2taxid mappings can be tens of GB, so that reader returns a
+streaming ``ray.data.Dataset`` suitable for ``broadcast_join`` (small
+slice) or ``large_join`` (full file).
+
+Format notes (NCBI taxdump): fields are separated by ``\t|\t`` and
+rows terminated by ``\t|``; parsing splits on ``|`` and strips tabs,
+which also accepts the space-padded variants the reference's
+token-stream parser tolerates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.csv as pacsv
+
+
+def _read_dmp(path: str, n_cols: int) -> list[pa.Array]:
+    """First ``n_cols`` tab-stripped fields of a ``.dmp`` file, fully
+    vectorized: one pyarrow.csv pass reading whole lines (a delimiter
+    that cannot occur keeps each line one field — real .dmp files have
+    a format-dependent column count, e.g. 13 in NCBI nodes.dmp, of
+    which the reference reads a prefix), then one Arrow split on '|'
+    and per-field trims."""
+    tab = pacsv.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(column_names=["line"]),
+        parse_options=pacsv.ParseOptions(delimiter="\x01", quote_char=False),
+        convert_options=pacsv.ConvertOptions(column_types={"line": pa.string()}),
+    )
+    parts = pc.split_pattern(tab["line"], "|")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    # rows too short for the requested prefix (blank/garbage lines) drop
+    parts = parts.filter(
+        pc.greater_equal(pc.list_value_length(parts), n_cols)
+    )
+    return [
+        pc.utf8_trim(pc.list_element(parts, i), characters=" \t")
+        for i in range(n_cols)
+    ]
+
+
+def read_nodes_dmp(path: str) -> pa.Table:
+    """nodes.dmp -> (node_id, parent_id, rank). Reference parse:
+    taxonomy_io.cpp:138-147 (id | parent | rank, multi-word ranks
+    joined)."""
+    c = _read_dmp(path, 3)
+    return pa.table(
+        {
+            "node_id": c[0].cast(pa.int64()),
+            "parent_id": c[1].cast(pa.int64()),
+            "rank": c[2],
+        }
+    )
+
+
+def read_names_dmp(path: str, scientific_only: bool = True) -> pa.Table:
+    """names.dmp -> (node_id, name). The reference keeps one name per
+    taxon, the first whose class contains "scientific"
+    (taxonomy_io.cpp:75-97); ``scientific_only=False`` returns all rows
+    with their name_class column."""
+    c = _read_dmp(path, 4)
+    node_id = c[0].cast(pa.int64())
+    if not scientific_only:
+        return pa.table(
+            {"node_id": node_id, "name": c[1], "name_class": c[3]}
+        )
+    keep = pc.match_substring(c[3], "scientific")
+    t = pa.table({"node_id": node_id, "name": c[1]}).filter(keep)
+    # one name per taxon (first scientific row wins, like the
+    # reference's map.insert which keeps the first)
+    ids = t["node_id"].to_numpy(zero_copy_only=False)
+    first = np.concatenate([[True], ids[1:] != ids[:-1]]) if len(ids) else np.array([], bool)
+    return t.filter(pa.array(first))
+
+
+def read_merged_dmp(path: str) -> pa.Table:
+    """merged.dmp -> (old_id, new_id) (taxonomy_io.cpp:111-130)."""
+    c = _read_dmp(path, 2)
+    return pa.table(
+        {"old_id": c[0].cast(pa.int64()), "new_id": c[1].cast(pa.int64())}
+    )
+
+
+def _remap(ids: np.ndarray, old_sorted: np.ndarray, new_vals: np.ndarray) -> np.ndarray:
+    if len(old_sorted) == 0:
+        return ids
+    pos = np.minimum(np.searchsorted(old_sorted, ids), len(old_sorted) - 1)
+    hit = old_sorted[pos] == ids
+    return np.where(hit, new_vals[pos], ids)
+
+
+def load_ncbi_taxonomy(
+    nodes_path: str,
+    names_path: str | None = None,
+    merged_path: str | None = None,
+) -> pa.Table:
+    """Assemble the taxonomy dimension table the way the reference's
+    make_taxonomic_hierarchy does (taxonomy_io.cpp:56-185):
+
+    - node and parent ids remapped through merged.dmp (:163-167);
+    - scientific names joined; missing name -> "--", empty -> "<id>"
+      (:153-159); names file itself is optional (:102-107);
+    - the root node (id 1) gets rank "root" (:177 reset_rank).
+
+    Returns (node_id, parent_id, rank, name) sorted by node_id —
+    broadcast-ready for the engine's taxonomy joins."""
+    nodes = read_nodes_dmp(nodes_path)
+    node_id = nodes["node_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent_id = nodes["parent_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if merged_path is not None:
+        m = read_merged_dmp(merged_path)
+        old = m["old_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = m["new_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(old)
+        old, new = old[order], new[order]
+        node_id = _remap(node_id, old, new)
+        parent_id = _remap(parent_id, old, new)
+
+    names = np.full(len(node_id), "--", dtype=object)
+    if names_path is not None:
+        nm = read_names_dmp(names_path)
+        nm_ids = nm["node_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nm_names = nm["name"].to_pylist()
+        order = np.argsort(nm_ids, kind="stable")
+        nm_ids = nm_ids[order]
+        if len(nm_ids):
+            pos = np.minimum(np.searchsorted(nm_ids, node_id), len(nm_ids) - 1)
+            hit = nm_ids[pos] == node_id
+            for i in np.flatnonzero(hit):
+                names[i] = nm_names[order[pos[i]]]
+    empty = np.array([not n for n in names], dtype=bool)
+    if empty.any():
+        for i in np.flatnonzero(empty):
+            names[i] = f"<{node_id[i]}>"
+
+    rank = nodes["rank"].to_pylist()
+    out = pa.table(
+        {
+            "node_id": pa.array(node_id, type=pa.int64()),
+            "parent_id": pa.array(parent_id, type=pa.int64()),
+            "rank": pa.array(
+                ["root" if nid == 1 else r for nid, r in zip(node_id, rank)],
+                type=pa.string(),
+            ),
+            "name": pa.array(list(names), type=pa.string()),
+        }
+    )
+    return out.sort_by("node_id")
+
+
+def _sniff_mapping_header(path: str) -> tuple[int, int, int]:
+    """(key_col, tax_col, skip_rows) per the reference's sniff
+    (taxonomy_io.cpp:204-246): skip '#' comment lines, find a header
+    row naming 'taxid' and 'accession.version'/'assembly_accession';
+    if no taxid column is named, fall back to col0=key, col1=taxid
+    with no header row (skip_rows = -1 signals headerless)."""
+    n_comments = 0
+    with open(path, "rt") as f:
+        line = ""
+        for _ in range(10):
+            line = f.readline()
+            if not line or not line.startswith("#"):
+                break
+            n_comments += 1
+    cols = line.lstrip("#").rstrip("\n").split("\t")
+    keycol, taxcol = 0, 0
+    for i, h in enumerate(cols):
+        h = h.strip()
+        if h == "taxid":
+            taxcol = i
+        elif h in ("accession.version", "assembly_accession"):
+            keycol = i
+    if taxcol < 1:
+        return 0, 1, -1
+    return keycol, taxcol, n_comments
+
+
+def read_accession2taxid(path: str):
+    """Tab-separated sequence-id -> taxon-id mapping as a streaming
+    ``ray.data.Dataset(key string, taxon_id int64)`` — the big-file
+    reader (taxonomy_io.cpp:190-310). Column positions come from the
+    header sniff; a headerless two-column file works too. Feed the
+    result (or a filtered slice) to ``stages/joins.broadcast_join`` or
+    ``large_join`` depending on its size."""
+    import ray.data as rd
+
+    keycol, taxcol, skip_rows = _sniff_mapping_header(path)
+    if skip_rows < 0:  # headerless two-column fallback
+        read_opts = pacsv.ReadOptions(column_names=["c0", "c1"])
+    else:  # skip comment lines; the next row is the header
+        read_opts = pacsv.ReadOptions(skip_rows=skip_rows)
+    ds = rd.read_csv(
+        path,
+        read_options=read_opts,
+        parse_options=pacsv.ParseOptions(delimiter="\t", quote_char=False),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column(keycol).cast(pa.string()),
+                "taxon_id": t.column(taxcol).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
