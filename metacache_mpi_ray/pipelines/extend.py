@@ -194,10 +194,14 @@ def extend_index(
     if os.path.exists(staging):
         shutil.rmtree(staging)
 
-    # 1. sign + band ONLY the new batch; stage the artifacts
+    # 1. sign + band ONLY the new batch; stage the artifacts. Sorted by
+    # doc_id like build_index's signature artifact, so the appended
+    # files keep tight footer id ranges and the query path's
+    # footer-pruned read stays selective after any number of extends
     sigs_new = (
         compute_signatures(new_docs, cfg, batch_size=128)
         .repartition(num_partitions)
+        .sort("doc_id")
         .materialize()
     )
     if sigs_new.count() == 0:

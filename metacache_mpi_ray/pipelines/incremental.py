@@ -155,6 +155,37 @@ def _read_stage(ckpt_root: str, stage: str, columns=None):
     return rd.read_parquet(files, columns=columns)
 
 
+def _sig_file_intersects(path: str, ids_sorted: np.ndarray) -> bool:
+    """True iff any row group's doc_id [min, max] footer range contains
+    a candidate id (files without usable stats are always kept)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    if md.num_row_groups == 0:
+        return True
+    try:
+        col_idx = [
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.row_group(0).num_columns)
+        ].index("doc_id")
+    except ValueError:
+        return True
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return True
+        lo = np.searchsorted(ids_sorted, st.min, side="left")
+        hi = np.searchsorted(ids_sorted, st.max, side="right")
+        if hi > lo:
+            return True
+    return False
+
+
+@ray.remote
+def _intersecting_sig_files(paths: list, ids_sorted: np.ndarray) -> list:
+    return [p for p in paths if _sig_file_intersects(p, ids_sorted)]
+
+
 def _pruned_sig_read(ckpt_root: str, ids_sorted: np.ndarray):
     """Read ONLY the signature checkpoint files whose doc_id footer
     range intersects ``ids_sorted`` (build_index writes the signatures
@@ -173,30 +204,18 @@ def _pruned_sig_read(ckpt_root: str, ids_sorted: np.ndarray):
     )
     if not files:
         raise FileNotFoundError(f"no checkpointed stage 'signatures' under {ckpt_root}")
-    keep = []
-    for f in files:
-        md = pq.read_metadata(f)
-        try:
-            col_idx = [
-                md.row_group(0).column(i).path_in_schema
-                for i in range(md.row_group(0).num_columns)
-            ].index("doc_id") if md.num_row_groups else None
-        except ValueError:
-            col_idx = None
-        take = md.num_row_groups == 0 or col_idx is None
-        for rg in range(md.num_row_groups):
-            if take:
-                break
-            st = md.row_group(rg).column(col_idx).statistics
-            if st is None or not st.has_min_max:
-                take = True
-                break
-            lo = np.searchsorted(ids_sorted, st.min, side="left")
-            hi = np.searchsorted(ids_sorted, st.max, side="right")
-            if hi > lo:
-                take = True
-        if take:
-            keep.append(f)
+    if len(files) <= 64:
+        keep = [f for f in files if _sig_file_intersects(f, ids_sorted)]
+    else:
+        # big index: footer reads fan out as Ray tasks (one per ~32-file
+        # chunk) instead of a serial driver loop — at 10^4+ files the
+        # driver otherwise pays len(files) x ~1 ms of storage stats
+        ids_ref = ray.put(ids_sorted)
+        chunks = [files[i : i + 32] for i in range(0, len(files), 32)]
+        kept_lists = ray.get(
+            [_intersecting_sig_files.remote(c, ids_ref) for c in chunks]
+        )
+        keep = [f for part in kept_lists for f in part]
     # nothing intersects: read one file for a schema-stable empty-ish
     # dataset (verify filters it away)
     read = keep or files[:1]

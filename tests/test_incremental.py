@@ -189,6 +189,31 @@ def test_query_probe_telemetry_and_sig_pruning(index_root):
     assert 1 <= r2["sig_files_read"] <= r2["sig_files_total"]
 
 
+def test_sig_file_intersects_footer_stats(tmp_path):
+    """Unit pin for the footer-range test both the serial and the
+    fan-out (>64 files) pruning paths share."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from metacache_mpi_ray.pipelines.incremental import (
+        _intersecting_sig_files,
+        _sig_file_intersects,
+    )
+
+    lo = tmp_path / "lo.parquet"
+    hi = tmp_path / "hi.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array([10, 20, 30], pa.int64())}), lo)
+    pq.write_table(pa.table({"doc_id": pa.array([100, 200], pa.int64())}), hi)
+    ids = np.array([25, 26], dtype=np.int64)  # inside lo's range only
+    assert _sig_file_intersects(str(lo), ids)
+    assert not _sig_file_intersects(str(hi), ids)
+    # id between row-group min/max but absent still keeps the file
+    # (range test, exactness comes from verify)
+    assert _sig_file_intersects(str(lo), np.array([15], dtype=np.int64))
+    kept = ray.get(_intersecting_sig_files.remote([str(lo), str(hi)], ids))
+    assert kept == [str(lo)]
+
+
 def test_query_refuses_config_mismatch(index_root):
     root, _, _ = index_root
     other = DedupConfig(sim_threshold=0.9)
