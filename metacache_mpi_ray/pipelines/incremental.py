@@ -739,17 +739,24 @@ def query_against_index(
     # of the session-9 anomaly (verified pairs present, zero match
     # rows) is diagnosable post-hoc from the index root alone
     n_verified = verified.count()
-    row = metrics.record(
-        "query_probe",
-        rows_out=len(match_tbl),
-        t_start=t0,
-        n_candidate_pairs=n_pairs,
-        n_verified=n_verified,
-        n_matched_new_docs=len(match_tbl),
-        sig_files_read=sig_files_read,
-        sig_files_total=sig_files_total,
-        status="inconsistent" if (len(match_tbl) == 0 and n_verified > 0) else "ok",
-    )
+    status = "inconsistent" if (len(match_tbl) == 0 and n_verified > 0) else "ok"
+    try:
+        row = metrics.record(
+            "query_probe",
+            rows_out=len(match_tbl),
+            t_start=t0,
+            n_candidate_pairs=n_pairs,
+            n_verified=n_verified,
+            n_matched_new_docs=len(match_tbl),
+            sig_files_read=sig_files_read,
+            sig_files_total=sig_files_total,
+            status=status,
+        )
+    except OSError:
+        # read-only index root (one writer, many query consumers):
+        # telemetry is best-effort, never a reason to fail a query
+        # whose compute already finished
+        row = {"status": status}
     # impossible-state guard: every verified pair carries a new_id, so a
     # non-empty verified table MUST yield match rows. Crash loudly
     # rather than return an all-unmatched result (a silent all-False

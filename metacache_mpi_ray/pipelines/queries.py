@@ -1007,6 +1007,28 @@ def q_html_extract(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def _private_cache_dir() -> str:
+    """Per-user cache dir for synthesized query inputs. The name is
+    still computable by other local users, so after makedirs the dir is
+    VALIDATED: it must be owned by this uid with no group/other access
+    (makedirs' mode applies only on creation, and exist_ok accepts an
+    attacker-pre-created dir — r4 review finding). A failed check falls
+    back to a fresh mkdtemp: uncached but never someone else's files."""
+    import stat
+    import tempfile
+
+    cache_dir = os.path.join(tempfile.gettempdir(), f"metacache-{os.getuid()}")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.lstat(cache_dir)
+    if (
+        stat.S_ISDIR(st.st_mode)
+        and st.st_uid == os.getuid()
+        and not (st.st_mode & 0o077)
+    ):
+        return cache_dir
+    return tempfile.mkdtemp(prefix="metacache-")
+
+
 def _docs_textfile(sf_dir: str, fmt: str) -> str:
     """documents.parquet converted ONCE to a /tmp CSV or JSONL file
     (content-fingerprinted cache, the q_query_vs_index pattern) so the
@@ -1020,16 +1042,7 @@ def _docs_textfile(sf_dir: str, fmt: str) -> str:
     key = hashlib.sha1(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|docs-{fmt}-v1".encode()
     ).hexdigest()[:12]
-    # per-user 0700 cache dir: a bare /tmp name is computable by any
-    # local user, who could pre-create the file and have it silently
-    # ingested as corpus data (r3 advice)
-    import tempfile
-
-    cache_dir = os.path.join(
-        tempfile.gettempdir(), f"metacache-{os.getuid()}"
-    )
-    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
-    path = os.path.join(cache_dir, f"docs_{key}.{fmt}")
+    path = os.path.join(_private_cache_dir(), f"docs_{key}.{fmt}")
     if not os.path.exists(path):
         tab = pq.read_table(src, columns=["doc_id", "text"])
         # per-writer tmp name: concurrent processes computing the same
@@ -1065,11 +1078,7 @@ def _acc2tax_file(sf_dir: str) -> str:
     key = hashlib.sha1(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|acc2tax-v1".encode()
     ).hexdigest()[:12]
-    import tempfile
-
-    cache_dir = os.path.join(tempfile.gettempdir(), f"metacache-{os.getuid()}")
-    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
-    path = os.path.join(cache_dir, f"acc2tax_{key}.tsv")
+    path = os.path.join(_private_cache_dir(), f"acc2tax_{key}.tsv")
     if not os.path.exists(path):
         ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
         tmp = f"{path}.{os.getpid()}.tmp"

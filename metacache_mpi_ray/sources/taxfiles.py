@@ -118,6 +118,7 @@ def load_ncbi_taxonomy(
     broadcast-ready for the engine's taxonomy joins."""
     nodes = read_nodes_dmp(nodes_path)
     node_id = nodes["node_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    orig_id = node_id
     parent_id = nodes["parent_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     if merged_path is not None:
@@ -126,47 +127,61 @@ def load_ncbi_taxonomy(
         new = m["new_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(old)
         old, new = old[order], new[order]
-        node_id = _remap(node_id, old, new)
+        node_id = _remap(orig_id, old, new)
         parent_id = _remap(parent_id, old, new)
 
     names = np.full(len(node_id), "--", dtype=object)
     if names_path is not None:
         nm = read_names_dmp(names_path)
         nm_ids = nm["node_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nm_names = nm["name"].to_pylist()
+        nm_names = np.asarray(nm["name"].to_pylist(), dtype=object)
         order = np.argsort(nm_ids, kind="stable")
-        nm_ids = nm_ids[order]
+        nm_ids, nm_names = nm_ids[order], nm_names[order]
         if len(nm_ids):
             pos = np.minimum(np.searchsorted(nm_ids, node_id), len(nm_ids) - 1)
             hit = nm_ids[pos] == node_id
-            for i in np.flatnonzero(hit):
-                names[i] = nm_names[order[pos[i]]]
-    empty = np.array([not n for n in names], dtype=bool)
+            names[hit] = nm_names[pos[hit]]  # one vectorized gather
+    lens = np.fromiter((len(n) for n in names), dtype=np.int64, count=len(names))
+    empty = lens == 0
     if empty.any():
-        for i in np.flatnonzero(empty):
-            names[i] = f"<{node_id[i]}>"
+        names[empty] = np.asarray(
+            [f"<{i}>" for i in node_id[empty]], dtype=object
+        )
 
-    rank = nodes["rank"].to_pylist()
+    rank = np.asarray(nodes["rank"].to_pylist(), dtype=object)
+    rank[node_id == 1] = "root"
+    # a stale node remapped onto a live one (node 12 with merged 12->9
+    # while node 9 also exists) would leave duplicate node_id rows and
+    # make every downstream join fan out; keep the REAL node's row
+    # (original id == remapped id) and drop stale aliases — the
+    # reference's first-insert-wins map semantics
+    self_row = orig_id == node_id
+    order = np.lexsort((~self_row, node_id))  # by id, self rows first
+    nid_s = node_id[order]
+    first = np.concatenate([[True], nid_s[1:] != nid_s[:-1]]) if len(nid_s) else np.array([], bool)
+    keep = order[first]
     out = pa.table(
         {
-            "node_id": pa.array(node_id, type=pa.int64()),
-            "parent_id": pa.array(parent_id, type=pa.int64()),
-            "rank": pa.array(
-                ["root" if nid == 1 else r for nid, r in zip(node_id, rank)],
-                type=pa.string(),
-            ),
-            "name": pa.array(list(names), type=pa.string()),
+            "node_id": pa.array(node_id[keep], type=pa.int64()),
+            "parent_id": pa.array(parent_id[keep], type=pa.int64()),
+            "rank": pa.array(list(rank[keep]), type=pa.string()),
+            "name": pa.array(list(names[keep]), type=pa.string()),
         }
     )
     return out.sort_by("node_id")
 
 
-def _sniff_mapping_header(path: str) -> tuple[int, int, int]:
-    """(key_col, tax_col, skip_rows) per the reference's sniff
-    (taxonomy_io.cpp:204-246): skip '#' comment lines, find a header
-    row naming 'taxid' and 'accession.version'/'assembly_accession';
-    if no taxid column is named, fall back to col0=key, col1=taxid
-    with no header row (skip_rows = -1 signals headerless)."""
+def _sniff_mapping_header(path: str) -> tuple[int, int, bool, int, int]:
+    """(key_col, tax_col, has_header, n_comments, n_data_cols) per the
+    reference's sniff (taxonomy_io.cpp:204-246): skip '#' comment
+    lines, find a header row naming 'taxid' and
+    'accession.version'/'assembly_accession'; if no taxid column is
+    named, fall back to col0=key, col1=taxid with no header row (the
+    first non-comment line is data). Unlike the reference's taxcol<1
+    quirk, a 'taxid' named in column 0 still counts as a header —
+    re-ingesting such a header row as data would swap the columns.
+    ``n_data_cols`` is the width of the first data line (headerless
+    files may carry trailing extra columns)."""
     n_comments = 0
     with open(path, "rt") as f:
         line = ""
@@ -175,17 +190,18 @@ def _sniff_mapping_header(path: str) -> tuple[int, int, int]:
             if not line or not line.startswith("#"):
                 break
             n_comments += 1
-    cols = line.lstrip("#").rstrip("\n").split("\t")
-    keycol, taxcol = 0, 0
+        next_line = f.readline()
+    cols = [h.strip() for h in line.lstrip("#").rstrip("\n").split("\t")]
+    keycol = taxcol = None
     for i, h in enumerate(cols):
-        h = h.strip()
         if h == "taxid":
             taxcol = i
         elif h in ("accession.version", "assembly_accession"):
             keycol = i
-    if taxcol < 1:
-        return 0, 1, -1
-    return keycol, taxcol, n_comments
+    if taxcol is None:
+        return 0, 1, False, n_comments, max(len(cols), 2)
+    width = len((next_line or line).rstrip("\n").split("\t"))
+    return keycol if keycol is not None else 0, taxcol, True, n_comments, width
 
 
 def read_accession2taxid(path: str):
@@ -197,11 +213,13 @@ def read_accession2taxid(path: str):
     ``large_join`` depending on its size."""
     import ray.data as rd
 
-    keycol, taxcol, skip_rows = _sniff_mapping_header(path)
-    if skip_rows < 0:  # headerless two-column fallback
-        read_opts = pacsv.ReadOptions(column_names=["c0", "c1"])
-    else:  # skip comment lines; the next row is the header
-        read_opts = pacsv.ReadOptions(skip_rows=skip_rows)
+    keycol, taxcol, has_header, n_comments, n_cols = _sniff_mapping_header(path)
+    if has_header:  # skip comment lines; the next row is the header
+        read_opts = pacsv.ReadOptions(skip_rows=n_comments)
+    else:  # headerless fallback: name the observed width, skip comments
+        read_opts = pacsv.ReadOptions(
+            column_names=[f"c{i}" for i in range(n_cols)], skip_rows=n_comments
+        )
     ds = rd.read_csv(
         path,
         read_options=read_opts,

@@ -31,14 +31,39 @@ def broadcast_join(big, small, on: str, *, how: str = "inner"):
     ``pa.Table.join`` (acero hash join) so the hot path stays
     zero-copy Arrow end to end — no per-batch pandas round-trip
     (r3 verdict Wrong #1). Output row order is not guaranteed
-    (hash-join semantics), matching the Dataset contract."""
+    (hash-join semantics), matching the Dataset contract.
+
+    ``how`` is "inner" or "left" (the broadcast shape cannot express
+    right/full joins — those need the small side to see every batch).
+    Small-side non-key columns that collide with big-side names raise
+    up front (acero would silently emit duplicate column names where
+    the old pandas merge suffixed them). A key-dtype mismatch (e.g. an
+    int key that picked up NaN and became float64 in pandas) is healed
+    by casting the SMALL side's key to the big side's type."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join supports how='inner'|'left', got {how!r}"
+        )
     if isinstance(small, pd.DataFrame):
         small = pa.Table.from_pandas(small, preserve_index=False)
     join_type = {"inner": "inner", "left": "left outer"}[how]
+    overlap = set(big.schema().names) & set(small.column_names) - {on}
+    if overlap:
+        raise ValueError(
+            f"broadcast_join: non-key columns {sorted(overlap)} exist on "
+            "both sides; rename or drop them before the join"
+        )
     ref = ray.put(small.combine_chunks())
 
     def probe(batch: pa.Table) -> pa.Table:
-        return batch.join(ray.get(ref), keys=on, join_type=join_type)
+        s = ray.get(ref)
+        # heal a key-dtype mismatch (e.g. an int key that picked up a
+        # NaN and became float64 in pandas) by casting the SMALL side
+        # to the batch's key type — acero rejects mismatched join keys
+        bt = batch.schema.field(on).type
+        if s.schema.field(on).type != bt:
+            s = s.set_column(s.column_names.index(on), on, s[on].cast(bt))
+        return batch.join(s, keys=on, join_type=join_type)
 
     return big.map_batches(probe, batch_format="pyarrow")
 

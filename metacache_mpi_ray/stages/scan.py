@@ -245,6 +245,8 @@ def budget_sample(
         ((k,) if not isinstance(k, tuple) else k, int(v))
         for k, v in budgets.items()
     ]
+    if not rows:  # empty budget dict: every group has budget 0
+        return run.filter(expr=f"{out_col} <= 0")
     cols = list(group_cols)
     bcols = [pa.array([k[i] for k, _ in rows]) for i in range(len(cols))]
     value_sets = [vs.combine_chunks() if isinstance(vs, pa.ChunkedArray) else vs

@@ -259,13 +259,15 @@ def verify_pairs_payload(
     Contract: ``table`` carries ONE fixed-width payload row per id —
     the broadcast scorer's sorted-id lookup and the width peek below
     both assume it (duplicate ids would silently score against an
-    arbitrary one of their rows on any path). ``edges`` must carry
-    DISTINCT (a, b) rows: the join fallback dedupes them as a
-    side-effect of its shuffle-size pruning while the broadcast path
-    scores every input row, so duplicate edges would return different
-    output multiplicities depending on which side of the auto size
-    switch the call lands on. Pre-dedupe with
-    ``candidates.unique_pairs`` (every in-repo caller does).
+    arbitrary one of their rows on any path). Duplicate (a, b) edge
+    rows change OUTPUT MULTIPLICITY by path: the join fallback dedupes
+    them as a side-effect of its shuffle-size pruning while the
+    broadcast path scores every input row. Scores are identical either
+    way, so consumers must be multiplicity-agnostic (min/union-find
+    aggregates — the incremental probe's consumers are) or the caller
+    must pre-dedupe with ``candidates.unique_pairs`` (the pair-listing
+    pipelines do). Pair-COUNT consumers over raw verify output are the
+    one unsupported shape.
     ``auto`` broadcasts the edge-endpoint subset when it fits in
     ``broadcast_bytes_limit`` (measured while streaming — the collection
     aborts the moment it can't fit) and otherwise falls back to two hash
@@ -474,7 +476,8 @@ def verify_edges(
 ):
     """edges(a, b, ...) x signatures(doc_id, sig) -> (a, b, est_sim) for
     pairs whose estimated Jaccard clears the verification threshold.
-    Edges must be distinct (a, b) rows — see ``verify_pairs_payload``.
+    Duplicate (a, b) rows: see ``verify_pairs_payload`` (multiplicity
+    differs by path; scores do not).
 
     ``auto`` decides by the actual broadcast payload — the dup-subset
     signature matrix (#distinct endpoints x n_perms x 8 bytes) — not by

@@ -19,6 +19,29 @@ def test_broadcast_join_matches_pandas():
     assert set(zip(out["x"], out["name"])) == set(zip(exp["x"], exp["name"]))
 
 
+def test_broadcast_join_key_dtype_mismatch_heals():
+    """A small side whose key drifted to float64 (pandas NaN) or int32
+    is cast to the big side's key type instead of crashing acero."""
+    from metacache_mpi_ray.stages.joins import broadcast_join
+
+    big = pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})
+    small = pd.DataFrame({"k": np.array([1.0, 2.0]), "name": ["a", "b"]})
+    out = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+    assert sorted(zip(out["x"], out["name"])) == [(10, "a"), (20, "b")]
+
+
+def test_broadcast_join_rejects_overlap_and_bad_how():
+    from metacache_mpi_ray.stages.joins import broadcast_join
+
+    big = rd.from_pandas(pd.DataFrame({"k": [1], "x": [10]}))
+    with pytest.raises(ValueError, match="non-key columns"):
+        broadcast_join(big, pd.DataFrame({"k": [1], "x": [99]}), on="k")
+    with pytest.raises(ValueError, match="inner"):
+        broadcast_join(
+            big, pd.DataFrame({"k": [1], "y": [5]}), on="k", how="outer"
+        )
+
+
 def test_large_join_auto_partitions_matches_pandas():
     from metacache_mpi_ray.stages.joins import large_join
 

@@ -122,6 +122,14 @@ def test_budget_sample_multi_column_groups_and_unseen():
     assert sorted(got["o"]) == [1, 2, 4]
 
 
+def test_budget_sample_empty_budget_dict():
+    """Empty dict == every group has budget 0: zero rows out with
+    positive weights (was an IndexError in the index_in rewrite)."""
+    df = pd.DataFrame({"g": [0, 1], "o": [1, 2], "v": [5, 5]})
+    out = budget_sample(rd.from_pandas(df), ["g"], ["o"], "v", {}).to_pandas()
+    assert len(out) == 0
+
+
 def test_budget_sample_deterministic_across_partitioning():
     rng = np.random.default_rng(12)
     df = _rand_frame(rng, 250, 3)

@@ -83,10 +83,13 @@ def test_load_ncbi_taxonomy_merge_names_root(taxdir):
         str(taxdir / "merged.dmp"),
     )
     rows = {r["node_id"]: r for r in tax.to_pylist()}
-    # merged row: 12 -> 9, parent 36 -> 2 (taxonomy_io.cpp:163-167)
-    assert 12 not in rows or rows[9]["parent_id"] in (2, 32199)
+    # merged row: 12 -> 9, parent 36 -> 2 (taxonomy_io.cpp:163-167);
+    # the REAL node 9 row wins over the remapped stale alias, so
+    # node_id is unique and 9 keeps its own parent (r4 review fix)
+    assert 12 not in rows
     merged_rows = [r for r in tax.to_pylist() if r["node_id"] == 9]
-    assert any(r["parent_id"] == 2 for r in merged_rows)
+    assert len(merged_rows) == 1
+    assert merged_rows[0]["parent_id"] == 32199
     # root rank reset (taxonomy_io.cpp:177)
     assert rows[1]["rank"] == "root"
     # names joined; unnamed node gets "--" (none here), empty never
@@ -115,6 +118,29 @@ def test_accession2taxid_with_header_and_comments(tmp_path, ray_session):
 def test_accession2taxid_headerless_two_columns(tmp_path, ray_session):
     p = tmp_path / "plain.tsv"
     p.write_text("X9\t131567\nY3\t1\n")
+    ds = read_accession2taxid(str(p))
+    got = sorted(
+        (r["key"], r["taxon_id"]) for r in ds.to_pandas().to_dict("records")
+    )
+    assert got == [("X9", 131567), ("Y3", 1)]
+
+
+def test_accession2taxid_taxid_in_first_column(tmp_path, ray_session):
+    """A header naming taxid in column 0 is still a header (the
+    reference's taxcol<1 quirk would re-ingest it as data and swap the
+    columns — r4 review fix)."""
+    p = tmp_path / "swapped.tsv"
+    p.write_text("taxid\taccession.version\nn9\tA1.1\n".replace("n9", "9"))
+    ds = read_accession2taxid(str(p))
+    got = [(r["key"], r["taxon_id"]) for r in ds.to_pandas().to_dict("records")]
+    assert got == [("A1.1", 9)]
+
+
+def test_accession2taxid_headerless_extra_columns_and_comments(tmp_path, ray_session):
+    """Headerless files may carry trailing extra columns and leading
+    comment lines (taxonomy_io.cpp tolerates both)."""
+    p = tmp_path / "wide.tsv"
+    p.write_text("# comment\nX9\t131567\tjunk\nY3\t1\tmore\n")
     ds = read_accession2taxid(str(p))
     got = sorted(
         (r["key"], r["taxon_id"]) for r in ds.to_pandas().to_dict("records")

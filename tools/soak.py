@@ -3,7 +3,7 @@ incremental query at N docs (default 1M), with bracketing CPU probes so
 the numbers are attributable on the throttled sandbox (BASELINE.md
 methodology).
 
-Usage: python tools/soak.py [n_docs] [--root DIR] [--kill-after-stage S]
+Usage: python tools/soak.py [n_docs] [--root DIR]
 
 Phases (each timed, probes before/after the suite):
   1. cold build_index into a fresh checkpoint root (all artifacts:
