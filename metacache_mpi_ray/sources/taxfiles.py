@@ -171,6 +171,61 @@ def load_ncbi_taxonomy(
     return out.sort_by("node_id")
 
 
+def ncbi_rank_taxonomy(tax: pa.Table, rank_names):
+    """Contract the NCBI rank lattice onto ``rank_names`` and build the
+    engine's fixed-depth ``Taxonomy`` (stages/taxonomy.py): nodes whose
+    rank is not listed are dropped and their children re-parented to
+    the nearest listed ancestor — the ranked-lineage walk the reference
+    performs per query (taxonomy.h ranked lineage cache). ``tax`` is
+    ``load_ncbi_taxonomy`` output; ``rank_names[0]`` must be "root".
+
+    Dimension-file scale: the contraction is a driver-side dict walk
+    with path memoization (O(nodes) amortized), matching the broadcast
+    pattern every taxonomy consumer already uses."""
+    import pandas as pd
+
+    from metacache_mpi_ray.stages.taxonomy import Taxonomy
+
+    wanted = set(rank_names)
+    ids = tax["node_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = tax["parent_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = tax["rank"].to_pylist()
+    parent_of = dict(zip(ids.tolist(), parents.tolist()))
+    rank_of = dict(zip(ids.tolist(), ranks))
+
+    listed_anc: dict[int, int] = {}
+
+    def nearest_listed(nid: int) -> int:
+        path = []
+        cur = nid
+        while cur not in listed_anc:
+            if rank_of.get(cur) in wanted:
+                listed_anc[cur] = cur
+                break
+            p = parent_of.get(cur, cur)
+            if p == cur:  # detached subtree root: contract to tree root
+                listed_anc[cur] = 1
+                break
+            path.append(cur)
+            cur = p
+        res = listed_anc[cur]
+        for n in path:
+            listed_anc[n] = res
+        return listed_anc[nid]
+
+    keep = [i for i, r in zip(ids.tolist(), ranks) if r in wanted]
+    rows = pd.DataFrame(
+        {
+            "node_id": keep,
+            "parent_id": [
+                i if i == 1 else nearest_listed(parent_of[i]) for i in keep
+            ],
+            "rank": [rank_of[i] for i in keep],
+        }
+    )
+    return Taxonomy.from_edges(rows, rank_names)
+
+
 def _sniff_mapping_header(path: str) -> tuple[int, int, bool, int, int]:
     """(key_col, tax_col, has_header, n_comments, n_data_cols) per the
     reference's sniff (taxonomy_io.cpp:204-246): skip '#' comment

@@ -145,6 +145,9 @@ def assign_clusters_distributed(
     min-label propagation, then a left-outer hash join of the label
     table onto docs. The scale path when the dup subset itself is too
     large for one driver-side DSU / one broadcast object."""
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)  # deadlock guard
     labels = propagate_min_labels(edges, num_partitions=num_partitions)
     if labels.count() == 0:
         # zero edges -> every doc is its own singleton; Ray 2.49's hash
@@ -208,6 +211,9 @@ def propagate_min_labels(edges, max_iters: int = 50, num_partitions: int = 32):
     kernel; only two rows per block cross the driver.
     Raises if the fixpoint is not reached within ``max_iters`` rounds.
     """
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)  # deadlock guard
 
     def seed(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)

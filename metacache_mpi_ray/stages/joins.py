@@ -68,6 +68,21 @@ def broadcast_join(big, small, on: str, *, how: str = "inner"):
     return big.map_batches(probe, batch_format="pyarrow")
 
 
+def clamp_join_partitions(n: int) -> int:
+    """Ray's hash-shuffle join schedules one HashShuffleAggregator
+    actor per partition; when partitions far exceed cluster CPUs the
+    actor pool cannot schedule and the join DEADLOCKS (reproduced on
+    Ray 2.49: a 1000-row join with num_partitions=16 at num_cpus=2
+    hangs forever, while <= 4x CPUs completes in seconds). Clamp every
+    join's partition count to 4x cluster CPUs — a no-op on real
+    clusters, a deadlock guard on small/starved nodes."""
+    try:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        cpus = 4
+    return max(2, min(int(n), 4 * cpus))
+
+
 def large_join(
     left,
     right,
@@ -111,6 +126,7 @@ def large_join(
         nbytes = _meta_bytes(left) + _meta_bytes(right)
         by_bytes = nbytes // target_partition_bytes
         num_partitions = int(max(cpus, by_bytes))
+    num_partitions = clamp_join_partitions(num_partitions)
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on)
 
 

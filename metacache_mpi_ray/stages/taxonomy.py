@@ -214,6 +214,9 @@ def redistribute_counts(
     host-level hierarchies (10^7+ leaves) where the node tables
     themselves outgrow the driver.
     """
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)  # deadlock guard
     coarse_cols = leaf_cols[:-1]
 
     def split(flag: int):

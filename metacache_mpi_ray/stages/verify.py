@@ -376,6 +376,9 @@ def verify_pairs_payload(
     # join fallback: payload rows ride the shuffle as packed binary
     if payload_dtype is None:
         raise ValueError("payload_dtype is required for the join strategy")
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)  # deadlock guard
     edges = _nonempty_or_none(edges)
     if edges is None or table.limit(1).count() == 0:
         # an all-empty side crashes the Ray 2.49 hash join (see
@@ -773,6 +776,9 @@ def verify_edges_exact_jaccard(
         # all-empty join side crashes the Ray 2.49 hash join, and the
         # right answer is "every edge drops"
         return rd.from_arrow(_empty())
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)  # deadlock guard
     sa = side.rename_columns({"doc_id": "a", "shingles": "set_a"})
     sb = side.rename_columns({"doc_id": "b", "shingles": "set_b"})
     j = edges.select_columns(["a", "b"]).join(

@@ -42,6 +42,20 @@ def test_broadcast_join_rejects_overlap_and_bad_how():
         )
 
 
+def test_clamp_join_partitions_bounds():
+    """Hash-shuffle joins deadlock when partitions >> CPUs (one
+    aggregator actor per partition; reproduced at 16 partitions on
+    2 CPUs). The clamp caps at 4x cluster CPUs and floors at 2."""
+    import ray
+
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert clamp_join_partitions(10_000) == 4 * cpus
+    assert clamp_join_partitions(3) == 3
+    assert clamp_join_partitions(1) == 2
+
+
 def test_large_join_auto_partitions_matches_pandas():
     from metacache_mpi_ray.stages.joins import large_join
 

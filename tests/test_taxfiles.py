@@ -100,6 +100,26 @@ def test_load_ncbi_taxonomy_merge_names_root(taxdir):
     assert ids == sorted(ids)
 
 
+def test_ncbi_rank_taxonomy_contraction(taxdir):
+    """The .dmp output feeds the engine's ranked-LCA machinery: unlisted
+    ranks (no-rank node 131567) contract away, children re-parent to
+    the nearest listed ancestor."""
+    from metacache_mpi_ray.sources.taxfiles import ncbi_rank_taxonomy
+
+    tax_tab = load_ncbi_taxonomy(
+        str(taxdir / "nodes.dmp"), str(taxdir / "names.dmp")
+    )
+    tax = ncbi_rank_taxonomy(
+        tax_tab, ("root", "superkingdom", "genus", "species")
+    )
+    # 9 (species) -> 32199 (genus) -> 2 (superkingdom) -> [131567
+    # dropped] -> 1 (root)
+    assert tax.ancestor(np.array([9]), "genus")[0] == 32199
+    assert tax.ancestor(np.array([9]), "superkingdom")[0] == 2
+    assert tax.ranked_lca(np.array([9]), np.array([2]))[0] == 2
+    assert 131567 not in tax.node_ids
+
+
 def test_accession2taxid_with_header_and_comments(tmp_path, ray_session):
     p = tmp_path / "acc2tax.tsv"
     p.write_text(
