@@ -815,8 +815,10 @@ def _verify_join(
     wanted_ref=None,
     id_bytes_limit: int = 2 << 30,
 ):
+    from metacache_mpi_ray.stages.joins import clamp_join_partitions
     from metacache_mpi_ray.stages.signatures import sig_from_binary, sig_to_binary
 
+    num_partitions = clamp_join_partitions(num_partitions)  # deadlock guard
     edges = _nonempty_or_none(edges)
     if edges is None or signatures.limit(1).count() == 0:
         return rd.from_arrow(
