@@ -70,17 +70,21 @@ def broadcast_join(big, small, on: str, *, how: str = "inner"):
 
 def clamp_join_partitions(n: int) -> int:
     """Ray's hash-shuffle join schedules one HashShuffleAggregator
-    actor per partition; when partitions far exceed cluster CPUs the
-    actor pool cannot schedule and the join DEADLOCKS (reproduced on
+    actor per partition at 0.125 CPU each; when the aggregator pool's
+    total reservation reaches the cluster's CPUs, the partition-feed
+    tasks starve and the join DEADLOCKS at idle CPU (reproduced on
     Ray 2.49: a 1000-row join with num_partitions=16 at num_cpus=2
-    hangs forever, while <= 4x CPUs completes in seconds). Clamp every
-    join's partition count to 4x cluster CPUs — a no-op on real
-    clusters, a deadlock guard on small/starved nodes."""
+    hangs forever; and a chained double-join — the verify path's shape
+    — stalls with 2 x 8 aggregators at 2 CPUs). Clamp every join's
+    partition count to 2x cluster CPUs so even two concurrently
+    scheduled pools (2 x 2n x 0.125 = n/2 CPUs) leave most of the node
+    for tasks — a no-op on real clusters, a deadlock guard on
+    small/starved nodes."""
     try:
         cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
     except Exception:
         cpus = 4
-    return max(2, min(int(n), 4 * cpus))
+    return max(2, min(int(n), 2 * cpus))
 
 
 def large_join(

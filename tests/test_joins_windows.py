@@ -45,13 +45,14 @@ def test_broadcast_join_rejects_overlap_and_bad_how():
 def test_clamp_join_partitions_bounds():
     """Hash-shuffle joins deadlock when partitions >> CPUs (one
     aggregator actor per partition; reproduced at 16 partitions on
-    2 CPUs). The clamp caps at 4x cluster CPUs and floors at 2."""
+    2 CPUs; a chained double-join stalls two 8-actor pools there). The
+    clamp caps at 2x cluster CPUs and floors at 2."""
     import ray
 
     from metacache_mpi_ray.stages.joins import clamp_join_partitions
 
     cpus = int(ray.cluster_resources()["CPU"])
-    assert clamp_join_partitions(10_000) == 4 * cpus
+    assert clamp_join_partitions(10_000) == 2 * cpus
     assert clamp_join_partitions(3) == 3
     assert clamp_join_partitions(1) == 2
 
