@@ -2035,7 +2035,67 @@ def q_docs_budget_sample(sf_dir: str):
 # r03 + r04 driver runs jointly cover all oracle-checked queries.
 # Rows-only queries and oracles green in r03 sit past position 50.
 QUERIES = {
-    # -- oracle-checked, skipped by the r3 driver's 50-row cap (27) --
+    # Round-5 rotation (VERDICT r4 #1): the driver checks EXACTLY the
+    # first 50 entries per round, so the window rotates each round to
+    # keep every oracle <=1 round stale and drive the rows-only set.
+    # -- 21 oracle-checked queries last driven in r3 --
+    "sample_docs_hashed": q_sample_docs_hashed,
+    "boilerplate_removed_join": q_boilerplate_removed_join,
+    "clean_pipeline_planted": q_clean_pipeline_planted,
+    "decontaminate_join": q_decontaminate_join,
+    "events_running_sum": q_events_running_sum,
+    "chunked_docs": q_chunked_docs,
+    "packed_sequences": q_packed_sequences,
+    "cluster_representatives": q_cluster_representatives,
+    "ivf_topk_planted": q_ivf_topk_planted,
+    "band_census_planted": q_band_census_planted,
+    "bucket_moments_planted": q_bucket_moments_planted,
+    "cluster_lcs": q_cluster_lcs,
+    "dedup_eval": q_dedup_eval,
+    "distinct_docs": q_distinct_docs,
+    "dup_size_histogram": q_dup_size_histogram,
+    "lang_counts": q_lang_counts,
+    "source_length_stats": q_source_length_stats,
+    "top_docs_by_length": q_top_docs_by_length,
+    "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
+    "quality_scores": q_quality_scores,
+    # -- 16 rows-only queries, incl. 8 never driver-driven
+    # (lang_id_trigram among them -- VERDICT r4 item 2); each has a
+    # pytest-pinned oracle twin (COVERAGE.md) --
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "substring_candidates": q_substring_candidates,
+    "substring_spans": q_substring_spans,
+    "ivf_topk": q_ivf_topk,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_cells": q_kmeans_cells,
+    "minhash_signatures": q_minhash_signatures,
+    "doc_fingerprints": q_doc_fingerprints,
+    "index_bucket_moments": q_index_bucket_moments,
+    "sample_docs": q_sample_docs,
+    "band_bucket_census": q_band_bucket_census,
+    "media_features": q_media_features,
+    "video_frame_sample": q_video_frame_sample,
+    "lang_id": q_lang_id,
+    "lang_id_trigram": q_lang_id_trigram,
+    # -- 13 headline dedup/similarity oracles (green r4; re-driven
+    # every round so the flagship family never goes stale) --
+    "minhash_clusters_planted": q_minhash_clusters_planted,
+    "dedup_eval_planted": q_dedup_eval_planted,
+    "minhash_signatures_modp": q_minhash_signatures_modp,
+    "query_vs_index": q_query_vs_index,
+    "extend_index_planted": q_extend_index_planted,
+    "jaccard_verify": q_jaccard_verify,
+    "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
+    "substring_candidates_planted": q_substring_candidates_planted,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "semantic_dedup_planted": q_semantic_dedup_planted,
+    "kmeans_assign_planted": q_kmeans_assign_planted,
+    "unseen_docs": q_unseen_docs,
+    # ---- position 50 cutoff: everything below was driver-green in
+    # r04 (oracle); see tools/correctness_union.py for staleness ----
     "vocab_census": q_vocab_census,
     "top_terms": q_top_terms,
     "token_count_stats": q_token_count_stats,
@@ -2063,22 +2123,8 @@ QUERIES = {
     "source_chars_moments": q_source_chars_moments,
     "ranked_lca": q_ranked_lca,
     "lang_id_planted": q_lang_id_planted,
-    # -- headline dedup / similarity oracles + r4-touched code (23) --
-    "minhash_signatures_modp": q_minhash_signatures_modp,
-    "query_vs_index": q_query_vs_index,
-    "unseen_docs": q_unseen_docs,
     "docs_budget_sample": q_docs_budget_sample,
     "rank_merge_planted": q_rank_merge_planted,
-    "semantic_dedup_planted": q_semantic_dedup_planted,
-    "kmeans_assign_planted": q_kmeans_assign_planted,
-    "embedding_near_dup": q_embedding_near_dup,
-    "jaccard_verify": q_jaccard_verify,
-    "minhash_clusters_planted": q_minhash_clusters_planted,
-    "extend_index_planted": q_extend_index_planted,
-    "ann_topk": q_ann_topk,
-    "simhash_dup_pairs_planted": q_simhash_dup_pairs_planted,
-    "substring_candidates_planted": q_substring_candidates_planted,
-    "dedup_eval_planted": q_dedup_eval_planted,
     "boilerplate_removed_planted": q_boilerplate_removed_planted,
     "decontaminate_planted": q_decontaminate_planted,
     "redact_pii_planted": q_redact_pii_planted,
@@ -2087,47 +2133,6 @@ QUERIES = {
     "merged_dedup_runs": q_merged_dedup_runs,
     "annotated_docs": q_annotated_docs,
     "accession_taxid_join": q_accession_taxid_join,
-    # ---- position 50 cutoff: everything below was driver-green in
-    # r03 (oracle) or is rows-only with a pytest-pinned oracle twin ----
-    "sample_docs_hashed": q_sample_docs_hashed,
-    "boilerplate_removed_join": q_boilerplate_removed_join,
-    "clean_pipeline_planted": q_clean_pipeline_planted,
-    "decontaminate_join": q_decontaminate_join,
-    "events_running_sum": q_events_running_sum,
-    "chunked_docs": q_chunked_docs,
-    "packed_sequences": q_packed_sequences,
-    "cluster_representatives": q_cluster_representatives,
-    "ivf_topk_planted": q_ivf_topk_planted,
-    "band_census_planted": q_band_census_planted,
-    "bucket_moments_planted": q_bucket_moments_planted,
-    "cluster_lcs": q_cluster_lcs,
-    "dedup_eval": q_dedup_eval,
-    "distinct_docs": q_distinct_docs,
-    "dup_size_histogram": q_dup_size_histogram,
-    "lang_counts": q_lang_counts,
-    "source_length_stats": q_source_length_stats,
-    "top_docs_by_length": q_top_docs_by_length,
-    "token_counts": q_token_counts,
-    "bpe_token_counts": q_bpe_token_counts,
-    "quality_scores": q_quality_scores,
-    # -- headline rows-only pipelines --
-    "minhash_clusters": q_minhash_clusters,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
-    "substring_candidates": q_substring_candidates,
-    "substring_spans": q_substring_spans,
-    "ivf_topk": q_ivf_topk,
-    "semantic_dedup": q_semantic_dedup,
-    "kmeans_cells": q_kmeans_cells,
-    "minhash_signatures": q_minhash_signatures,
-    # -- misc --
-    "doc_fingerprints": q_doc_fingerprints,
-    "index_bucket_moments": q_index_bucket_moments,
-    "sample_docs": q_sample_docs,
-    "band_bucket_census": q_band_bucket_census,
-    "media_features": q_media_features,
-    "video_frame_sample": q_video_frame_sample,
-    "lang_id": q_lang_id,
-    "lang_id_trigram": q_lang_id_trigram,
 }
 
 
