@@ -117,7 +117,8 @@ def near_dup_pipeline(
     # at web-scale dup rates the broadcast would otherwise become a
     # driver-memory scale-killer
     verified = verify_edges(
-        edges, sigs, cfg, num_partitions=num_partitions, strategy="auto"
+        edges, sigs, cfg, num_partitions=num_partitions, strategy="auto",
+        pre_deduped=True,  # edges = dedupe_edges output
     ).materialize()
     if include_substring:
         # exact long-match substring edges (suffix/anchor stage, F6

@@ -126,7 +126,10 @@ def build_index(
         empty_schema=pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("est_sim", pa.float64())]
         ),
-        compute=lambda: verify_edges(edges, sigs, cfg, num_partitions=num_partitions),
+        compute=lambda: verify_edges(
+            edges, sigs, cfg, num_partitions=num_partitions,
+            pre_deduped=True,  # edges = dedupe_edges output
+        ),
     )
     return checkpointed_stage(
         ckpt_root, "clusters", lambda: assign_clusters(sigs, verified)

@@ -496,4 +496,5 @@ def embedding_near_dup(
         payload_dtype=np.float64,
         strategy=verify_strategy,
         num_partitions=num_partitions,
+        pre_deduped=True,  # unique_pairs ran above
     )

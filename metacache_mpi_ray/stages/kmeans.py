@@ -344,6 +344,7 @@ def semantic_dedup(
         payload_dtype=np.float64,
         strategy=verify_strategy,
         num_partitions=num_partitions,
+        pre_deduped=True,  # unique_pairs ran above
     )
     ids_only = embeddings.select_columns([id_col])
     clusters = assign_clusters(ids_only, verified, id_col=id_col)

@@ -198,6 +198,7 @@ def simhash_dedup(
         id_col="doc_id",
         extract=extract,
         score=score,
+        pre_deduped=True,  # unique_pairs ran above
         value_col="hamming",
         value_type=pa.int64(),
         payload_dtype=U64,

@@ -182,6 +182,18 @@ def _collect_payload_subset(table, id_col, wanted, extract, bytes_limit=None):
     return ids_all[order], pay_all[order]
 
 
+def _distinct_pairs(edges):
+    """Edges reduced to the distinct (a, b) set — the sorted-run dedup
+    (see candidates.dedupe_edges for the groupby-vs-sort measurements)
+    with schema-safe empty blocks for downstream Ray 2.49 hash joins."""
+    from metacache_mpi_ray.stages.candidates import unique_pairs
+
+    return drop_empty_blocks(
+        unique_pairs(edges).materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+
+
 def _dedupe_and_prune(
     edges,
     table,
@@ -190,6 +202,7 @@ def _dedupe_and_prune(
     n_wanted: int | None = None,
     wanted_ref=None,
     id_bytes_limit: int = 2 << 30,
+    dedupe: bool = True,
 ):
     """Shared join-fallback scale guards (verify_pairs_payload,
     _verify_join, verify_edges_exact_jaccard).
@@ -216,13 +229,13 @@ def _dedupe_and_prune(
     empty-guard the packed payload side before joining: the filter can
     legitimately drop every payload row (edges may reference endpoints
     absent from the table), and a globally-empty join side crashes the
-    Ray 2.49 hash join (see _nonempty_or_none)."""
-    from metacache_mpi_ray.stages.candidates import unique_pairs
+    Ray 2.49 hash join (see _nonempty_or_none).
 
-    edges = drop_empty_blocks(
-        unique_pairs(edges).materialize(),
-        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
-    )
+    ``dedupe=False`` skips guard 1 — for callers that already ran the
+    edges through ``_distinct_pairs`` (the verify entry points do, so
+    broadcast and join paths see the same distinct pair set)."""
+    if dedupe:
+        edges = _distinct_pairs(edges)
     if wanted_ref is None or n_wanted is None:
         n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
     if n_wanted * 8 <= id_bytes_limit:
@@ -246,6 +259,7 @@ def verify_pairs_payload(
     strategy: str = "auto",
     broadcast_bytes_limit: int = 2 << 30,
     num_partitions: int = 16,
+    pre_deduped: bool = False,
 ):
     """Generic pair verification against per-row fixed-width payloads —
     the payload-sized broadcast-vs-join auto-switch factored out of
@@ -260,14 +274,13 @@ def verify_pairs_payload(
     the broadcast scorer's sorted-id lookup and the width peek below
     both assume it (duplicate ids would silently score against an
     arbitrary one of their rows on any path). Duplicate (a, b) edge
-    rows change OUTPUT MULTIPLICITY by path: the join fallback dedupes
-    them as a side-effect of its shuffle-size pruning while the
-    broadcast path scores every input row. Scores are identical either
-    way, so consumers must be multiplicity-agnostic (min/union-find
-    aggregates — the incremental probe's consumers are) or the caller
-    must pre-dedupe with ``candidates.unique_pairs`` (the pair-listing
-    pipelines do). Pair-COUNT consumers over raw verify output are the
-    one unsupported shape.
+    rows are deduped UP FRONT on every strategy (r4 review: the join
+    fallback deduped as a side-effect of its shuffle-size pruning while
+    the broadcast path scored every input row, so output multiplicity
+    differed across the auto switch) — both paths now emit one row per
+    distinct surviving pair. Callers whose edges are already distinct
+    (the pair-listing pipelines run ``candidates.unique_pairs`` first)
+    pass ``pre_deduped=True`` to skip the redundant sort.
     ``auto`` broadcasts the edge-endpoint subset when it fits in
     ``broadcast_bytes_limit`` (measured while streaming — the collection
     aborts the moment it can't fit) and otherwise falls back to two hash
@@ -278,6 +291,8 @@ def verify_pairs_payload(
     subset assembles in one task instead of streaming through the
     driver heap."""
     value_type = value_type or pa.float64()
+    if not pre_deduped:
+        edges = _distinct_pairs(edges)
 
     def _empty():
         return pa.table(
@@ -389,6 +404,7 @@ def verify_pairs_payload(
         edges, table, id_col,
         n_wanted=n_wanted, wanted_ref=wanted_ref,
         id_bytes_limit=broadcast_bytes_limit,
+        dedupe=False,  # already distinct (hoisted above, all strategies)
     )
     itemsize = np.dtype(payload_dtype).itemsize
 
@@ -476,11 +492,15 @@ def verify_edges(
     *,
     strategy: str = "auto",
     broadcast_bytes_limit: int = 2 << 30,
+    pre_deduped: bool = False,
 ):
     """edges(a, b, ...) x signatures(doc_id, sig) -> (a, b, est_sim) for
     pairs whose estimated Jaccard clears the verification threshold.
-    Duplicate (a, b) rows: see ``verify_pairs_payload`` (multiplicity
-    differs by path; scores do not).
+    Duplicate (a, b) rows are deduped up front on every strategy (one
+    output row per distinct surviving pair — see
+    ``verify_pairs_payload``); callers whose edges are already distinct
+    (the flagship passes ``dedupe_edges`` output) skip the redundant
+    sort with ``pre_deduped=True``.
 
     ``auto`` decides by the actual broadcast payload — the dup-subset
     signature matrix (#distinct endpoints x n_perms x 8 bytes) — not by
@@ -492,6 +512,8 @@ def verify_edges(
     blocks — the driver handles counts and refs only (round-3: the
     driver-heap round trip was the dominant serial slice of a 2-CPU
     run)."""
+    if not pre_deduped:
+        edges = _distinct_pairs(edges)
     if strategy == "auto":
         n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
         if n_wanted * cfg.n_perms * 8 <= broadcast_bytes_limit:
@@ -499,11 +521,11 @@ def verify_edges(
         return _verify_join(
             edges, signatures, cfg, num_partitions,
             n_wanted=n_wanted, wanted_ref=wanted_ref,
-            id_bytes_limit=broadcast_bytes_limit,
+            id_bytes_limit=broadcast_bytes_limit, dedupe=False,
         )
     if strategy == "broadcast":
         return _verify_broadcast(edges, signatures, cfg)
-    return _verify_join(edges, signatures, cfg, num_partitions)
+    return _verify_join(edges, signatures, cfg, num_partitions, dedupe=False)
 
 
 def _verify_broadcast(edges, signatures, cfg: DedupConfig, wanted_ref=None):
@@ -670,6 +692,7 @@ def verify_edges_exact_jaccard(
     strategy: str = "auto",
     broadcast_bytes_limit: int = 2 << 30,
     num_partitions: int = 16,
+    pre_deduped: bool = False,
 ):
     """Exact n-gram Jaccard verification of candidate pairs — the
     precision-grade alternative to MinHash-estimated verification.
@@ -682,6 +705,10 @@ def verify_edges_exact_jaccard(
     edge batch (``_jaccard_batch``). Past the broadcast limit the packed
     sets ship through the same two-hash-join fallback as
     ``verify_pairs_payload``."""
+    if not pre_deduped:
+        # distinct pairs on EVERY strategy so broadcast and join paths
+        # emit identical multiplicity (see verify_pairs_payload)
+        edges = _distinct_pairs(edges)
     # one execution of the full-corpus shingle build serves every path:
     # the subset filter, and (past the broadcast limit) both join sides
     # (independent lineages — no CSE)
@@ -756,19 +783,15 @@ def verify_edges_exact_jaccard(
     if sub_refs is not None:
         # the endpoint filter over the full shingle table already
         # executed for the broadcast probe — reuse its blocks instead of
-        # re-scanning the multi-GB set table
-        from metacache_mpi_ray.stages.candidates import unique_pairs
-
-        edges = drop_empty_blocks(
-            unique_pairs(edges).materialize(),
-            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
-        )
+        # re-scanning the multi-GB set table; edges are already distinct
+        # (hoisted above, all strategies)
         side = rd.from_arrow_refs(sub_refs)
     else:
         edges, side = _dedupe_and_prune(
             edges, sets_ds, "doc_id",
             n_wanted=n_wanted, wanted_ref=wref,
             id_bytes_limit=broadcast_bytes_limit,
+            dedupe=False,  # already distinct (hoisted above)
         )
         side = side.materialize()  # both join sides read the same blocks
     if side.count() == 0:
@@ -814,6 +837,7 @@ def _verify_join(
     n_wanted: int | None = None,
     wanted_ref=None,
     id_bytes_limit: int = 2 << 30,
+    dedupe: bool = True,
 ):
     from metacache_mpi_ray.stages.joins import clamp_join_partitions
     from metacache_mpi_ray.stages.signatures import sig_from_binary, sig_to_binary
@@ -834,7 +858,7 @@ def _verify_join(
     edges, signatures = _dedupe_and_prune(
         edges, signatures.select_columns(["doc_id", "sig"]), "doc_id",
         n_wanted=n_wanted, wanted_ref=wanted_ref,
-        id_bytes_limit=id_bytes_limit,
+        id_bytes_limit=id_bytes_limit, dedupe=dedupe,
     )
 
     def pack(batch: pa.Table) -> pa.Table:
