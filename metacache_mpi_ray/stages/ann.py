@@ -398,6 +398,25 @@ def _auto_planes(n_rows: int, target_bucket: int = 8) -> int:
     return int(min(24, max(12, np.ceil(np.log2(max(n_rows / target_bucket, 2.0))))))
 
 
+def _resolve_lsh_layout(
+    n_rows: int, n_planes: int | None = None, n_tables: int | None = None
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for multi-table hyperplane LSH. Auto-sized
+    tables grow one per 2 extra planes past the 12-plane floor, which
+    holds analytic at-threshold (cos 0.95, per-plane collision ~0.899)
+    candidate recall at ~0.73 / ~0.66 / ~0.55 for 12/4, 17/6, 24/10 —
+    the measured curve the r3 advice asked for (one table per 3 planes
+    decayed to ~0.59 at 1M rows). EXPLICIT caller values are respected
+    verbatim, never bumped (test_ann_layout_* pins both behaviors)."""
+    if n_planes is None:
+        n_planes = _auto_planes(n_rows)
+        if n_tables is None:
+            n_tables = 4 + max(0, (n_planes - 12) // 2)
+    if n_tables is None:
+        n_tables = 4
+    return n_planes, n_tables
+
+
 def embedding_near_dup(
     embeddings,
     *,
@@ -429,12 +448,9 @@ def embedding_near_dup(
 
     # consumed twice (code emission + exact-cosine verify) — one read
     embeddings = embeddings.materialize()
-    if n_planes is None:
-        n_planes = _auto_planes(embeddings.count())
-        if n_tables is None:
-            n_tables = 4 + max(0, (n_planes - 12) // 2)
-    if n_tables is None:
-        n_tables = 4
+    n_planes, n_tables = _resolve_lsh_layout(
+        embeddings.count(), n_planes=n_planes, n_tables=n_tables
+    )
 
     def emit_codes(batch: pa.Table) -> pa.Table:
         ids, raw = _valid_emb(batch)  # null rows can never near-dup
