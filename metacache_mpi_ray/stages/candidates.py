@@ -98,18 +98,30 @@ def _make_edge_emitter(id_col: str, cap: int, hot_policy: str = "drop"):
         b = ids[b_mask]
         sel = a != b
         if hot_policy == "sample" and (~ok & (sizes > 1)).any():
-            # hot groups: star over the cap smallest mixed ids
+            # hot groups: star over the cap smallest mixed ids per
+            # group. Vectorized by SIZE CLASS (the r4 per-hot-group
+            # Python loop serialized on boilerplate-heavy crawls where
+            # thousands of buckets overflow the cap): groups sharing a
+            # size gather into one (k, size) matrix and a single
+            # axis-1 argpartition picks every group's sample at once —
+            # the Python loop runs per DISTINCT size, not per group.
+            # Same pick set as the per-group loop (selection by mixed
+            # id is order-free).
             hot = np.flatnonzero(~ok & (sizes > 1))
-            extra_a, extra_b = [], []
-            for g in hot:
-                grp = ids[starts[g] : starts[g] + sizes[g]]
-                mix = splitmix64(grp.view(U64))
-                pick = grp[np.argsort(mix)[:cap]]
-                m = pick.min()
-                extra_a.append(np.full(len(pick), m, dtype=np.int64))
-                extra_b.append(pick)
-            ea = np.concatenate(extra_a)
-            eb = np.concatenate(extra_b)
+            hsizes = sizes[hot]
+            ea_parts, eb_parts = [], []
+            for sz in np.unique(hsizes):
+                gstarts = starts[hot[hsizes == sz]]
+                ids2 = ids[gstarts[:, None] + np.arange(sz)]  # (k, sz)
+                mix2 = splitmix64(np.ascontiguousarray(ids2).view(U64))
+                part = np.argpartition(mix2, cap - 1, axis=1)[:, :cap]
+                picked = np.take_along_axis(ids2, part, axis=1)
+                ea_parts.append(
+                    np.repeat(picked.min(axis=1), picked.shape[1])
+                )
+                eb_parts.append(picked.ravel())
+            ea = np.concatenate(ea_parts)
+            eb = np.concatenate(eb_parts)
             es = ea != eb
             a = np.concatenate([a[sel], ea[es]])
             b = np.concatenate([b[sel], eb[es]])

@@ -374,3 +374,51 @@ def test_cap_sampling_rule_parity():
     )
     seg_members = set(a.tolist()) | set(b.tolist())
     assert seg_members == bridge_members
+
+
+def test_hot_sample_vectorized_matches_per_group_loop():
+    """The segmented-lexsort hot-group sampler (r5, replaces the
+    per-hot-group Python loop) must emit exactly the per-group
+    cap-smallest-mixed-id star the loop produced — many hot groups of
+    varying size in one batch, interleaved with in-cap groups."""
+    import numpy as np
+
+    from metacache_mpi_ray.functions.hashing import U64, splitmix64
+    from metacache_mpi_ray.stages.candidates import _make_edge_emitter
+
+    rng = np.random.default_rng(99)
+    cap = 8
+    keys, ids = [], []
+    next_id = 1000
+    group_sizes = [3, 40, 2, 25, 8, 100, 5, 60]  # mix of hot and in-cap
+    for g, size in enumerate(group_sizes):
+        members = rng.permutation(np.arange(next_id, next_id + size))
+        keys += [g + 1] * size
+        ids += list(members)
+        next_id += size + 17
+    t = pa.table(
+        {
+            "bkey": pa.array(np.array(keys, dtype=np.int64)),
+            "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+        }
+    )
+    out = _make_edge_emitter("doc_id", cap, "sample")(t).to_pandas()
+    edges = out[out["bridge_key"] == 0]
+    got = set(zip(edges["a"], edges["b"]))
+
+    # reference: per-group loop semantics
+    expect = set()
+    arr_k = np.array(keys)
+    arr_i = np.array(ids, dtype=np.int64)
+    for g, size in enumerate(group_sizes):
+        grp = arr_i[arr_k == g + 1]
+        if size > cap:
+            mix = splitmix64(grp.view(U64))
+            pick = grp[np.argsort(mix)[:cap]]
+        elif size > 1:
+            pick = grp
+        else:
+            continue
+        m = pick.min()
+        expect |= {(m, x) for x in pick if x != m}
+    assert got == expect
