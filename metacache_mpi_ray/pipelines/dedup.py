@@ -34,7 +34,7 @@ def near_dup_pipeline(
     docs: "ray.data.Dataset",
     cfg: DedupConfig | None = None,
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     signer_concurrency: int | None = None,
     include_substring: bool = False,
     dedupe_pairs: bool = False,
@@ -49,7 +49,11 @@ def near_dup_pipeline(
     checkpointed scale it is written to Parquet instead (see
     state/checkpoint.py).
     """
+    from metacache_mpi_ray.stages.joins import default_num_partitions
+
     cfg = cfg or DedupConfig()
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     # coalesce the signer output to ~num_partitions blocks inside the
     # same execution: the read stage typically hands down hundreds of
     # row-group-sized blocks, and every downstream pass inherits that

@@ -153,7 +153,7 @@ def extend_index(
     ckpt_root: str,
     cfg: DedupConfig | None = None,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     batch_id: str | None = None,
 ):
     """Add ``new_docs`` (canonical docs: doc_id, text, ...) to the
@@ -164,6 +164,10 @@ def extend_index(
     content-keyed at ingest; re-submitting an already-indexed page is
     the caller's dedup-by-key problem, as in the reference where the
     same target added twice simply occurs twice)."""
+    from metacache_mpi_ray.stages.joins import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     stored_cfg = load_index_config(ckpt_root)
     if cfg is not None and cfg != stored_cfg:
         raise ConfigMismatch(

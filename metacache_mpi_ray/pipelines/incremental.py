@@ -66,12 +66,16 @@ def build_index(
     cfg: DedupConfig,
     ckpt_root: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Dedup ``docs`` and persist the queryable artifacts under
     ``ckpt_root`` (signatures/, edges/, verified/, clusters/ +
     config.json guard). Returns the clusters dataset. Resumable: a
     finished stage is read back instead of recomputed."""
+    from metacache_mpi_ray.stages.joins import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     init_checkpoint_root(ckpt_root, cfg)
     # coalesced to num_partitions blocks inside the signer execution:
     # right-sizes both the checkpoint files (one per partition, the
@@ -251,12 +255,40 @@ class ReplIndex:
     normalize -> sign -> band -> searchsorted probe -> signature
     verification -> cluster resolution, a few ms per query."""
 
-    def __init__(self, ckpt_root: str):
+    #: refuse to load an index whose on-disk artifacts exceed this many
+    #: bytes (in-RAM footprint is larger still after decompression);
+    #: override per-instance or via METACACHE_REPL_MAX_BYTES. The REPL
+    #: is the one deliberately driver-RAM-resident mode in the repo —
+    #: without the guard a mis-pointed ckpt_root OOMs the driver
+    #: instead of erroring with the artifact size (r4 review).
+    DEFAULT_MAX_BYTES = 8 << 30
+
+    def __init__(self, ckpt_root: str, max_bytes: int | None = None):
         import pyarrow.parquet as pq
 
         from metacache_mpi_ray.functions.hashing import minhash_perm_constants
         from metacache_mpi_ray.stages.signatures import sig_from_arrow
 
+        if max_bytes is None:
+            max_bytes = int(
+                os.environ.get("METACACHE_REPL_MAX_BYTES", self.DEFAULT_MAX_BYTES)
+            )
+        artifact_bytes = sum(
+            os.path.getsize(f)
+            for stage in ("signatures", "bands", "clusters")
+            for f in glob.glob(
+                os.path.join(ckpt_root, stage, "**", "*.parquet"), recursive=True
+            )
+        )
+        if max_bytes > 0 and artifact_bytes > max_bytes:
+            raise MemoryError(
+                f"ReplIndex loads the whole index into driver RAM; the "
+                f"artifacts under {ckpt_root!r} total {artifact_bytes:,} "
+                f"bytes on disk (limit {max_bytes:,}). Use "
+                f"query_against_index for batch workloads, or raise the "
+                f"limit via ReplIndex(..., max_bytes=...) / "
+                f"METACACHE_REPL_MAX_BYTES."
+            )
         self.cfg = load_index_config(ckpt_root)
         self._perm = (
             minhash_perm_constants(self.cfg.n_perms, self.cfg.seed)
@@ -577,7 +609,7 @@ def query_against_index(
     ckpt_root: str,
     cfg: DedupConfig | None = None,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     probe_batch_size: int | None = None,
 ):
     """Stream a new batch of canonical docs against a persisted index.
@@ -587,6 +619,10 @@ def query_against_index(
     ``matched_cluster_id`` = the minimum matched stored cluster id, or
     -1. The index corpus itself is never re-signed or re-clustered.
     """
+    from metacache_mpi_ray.stages.joins import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     stored_cfg = load_index_config(ckpt_root)
     if cfg is not None and cfg != stored_cfg:
         raise ConfigMismatch(

@@ -87,6 +87,23 @@ def clamp_join_partitions(n: int) -> int:
     return max(2, min(int(n), 2 * cpus))
 
 
+def default_num_partitions(minimum: int = 8, maximum: int = 512) -> int:
+    """Cluster-CPU-derived partition count for pipeline entry points
+    (flagship/build/query/extend): one partition per cluster CPU,
+    floored at ``minimum`` so tiny nodes still overlap read/compute and
+    capped at ``maximum`` (at real scale callers size partitions from
+    data, e.g. large_join's bytes term). Keeping the DEFAULT tied to
+    the cluster means a caller who never thinks about partitioning
+    cannot manufacture the partitions >> CPUs aggregator-starvation
+    deadlock that clamp_join_partitions guards joins against (Ray 2.49,
+    reproduced at 4M docs on a 2-CPU run)."""
+    try:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        cpus = 4
+    return max(minimum, min(cpus, maximum))
+
+
 def large_join(
     left,
     right,

@@ -194,6 +194,19 @@ def _distinct_pairs(edges):
     )
 
 
+def _schema_safe_pairs(edges):
+    """Pre-deduped edges still need schema-safe blocks before a hash
+    join: a caller's materialized sort/unique_pairs output can carry
+    zero-row blocks with a stowaway (or missing) schema that crashes
+    the Ray 2.49 hash join ("No match ... for key field reference").
+    Metadata-only when ``edges`` is already materialized — the
+    pre-deduped callers all are."""
+    return drop_empty_blocks(
+        edges.materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+
+
 def _dedupe_and_prune(
     edges,
     table,
@@ -291,8 +304,7 @@ def verify_pairs_payload(
     subset assembles in one task instead of streaming through the
     driver heap."""
     value_type = value_type or pa.float64()
-    if not pre_deduped:
-        edges = _distinct_pairs(edges)
+    edges = _distinct_pairs(edges) if not pre_deduped else _schema_safe_pairs(edges)
 
     def _empty():
         return pa.table(
@@ -512,8 +524,7 @@ def verify_edges(
     blocks — the driver handles counts and refs only (round-3: the
     driver-heap round trip was the dominant serial slice of a 2-CPU
     run)."""
-    if not pre_deduped:
-        edges = _distinct_pairs(edges)
+    edges = _distinct_pairs(edges) if not pre_deduped else _schema_safe_pairs(edges)
     if strategy == "auto":
         n_wanted, wanted_ref = _edge_doc_ids_ref(edges)
         if n_wanted * cfg.n_perms * 8 <= broadcast_bytes_limit:
@@ -705,10 +716,10 @@ def verify_edges_exact_jaccard(
     edge batch (``_jaccard_batch``). Past the broadcast limit the packed
     sets ship through the same two-hash-join fallback as
     ``verify_pairs_payload``."""
-    if not pre_deduped:
-        # distinct pairs on EVERY strategy so broadcast and join paths
-        # emit identical multiplicity (see verify_pairs_payload)
-        edges = _distinct_pairs(edges)
+    # distinct pairs on EVERY strategy so broadcast and join paths emit
+    # identical multiplicity (see verify_pairs_payload); pre-deduped
+    # edges still get schema-safe blocks for the join fallback
+    edges = _distinct_pairs(edges) if not pre_deduped else _schema_safe_pairs(edges)
     # one execution of the full-corpus shingle build serves every path:
     # the subset filter, and (past the broadcast limit) both join sides
     # (independent lineages — no CSE)

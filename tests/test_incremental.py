@@ -522,3 +522,26 @@ def test_repl_index_honors_bucket_cap(tmp_path):
     # must agree the probe matches nothing
     assert not batch["matched"].iloc[0]
     assert repl["matched"] is False or repl["matched"] == False  # noqa: E712
+
+
+def test_repl_index_ram_guard(index_root):
+    """ReplIndex refuses (with the artifact byte count, not an OOM) to
+    load an index whose on-disk artifacts exceed max_bytes; 0 disables
+    the guard; the env override is honored (r4 review item)."""
+    import pytest
+
+    from metacache_mpi_ray.pipelines.incremental import ReplIndex
+
+    root, _, _ = index_root
+    with pytest.raises(MemoryError, match="bytes on disk"):
+        ReplIndex(root, max_bytes=16)
+    assert ReplIndex(root, max_bytes=0).sig_ids is not None  # disabled
+    import os as _os
+
+    _os.environ["METACACHE_REPL_MAX_BYTES"] = "16"
+    try:
+        with pytest.raises(MemoryError):
+            ReplIndex(root)
+    finally:
+        del _os.environ["METACACHE_REPL_MAX_BYTES"]
+    assert ReplIndex(root).cl_ids is not None  # default limit: loads

@@ -261,3 +261,30 @@ def test_asof_lookup_empty_table():
     ).to_pandas()
     assert len(out) == 3
     assert out["step"].isna().all()
+
+
+def test_default_num_partitions_tracks_cluster_cpus():
+    """Pipeline entry points size their partition default from the
+    cluster (r4 item 9): at the 4-CPU test cluster the default is the
+    floor (8), never the old hardcoded 16/32 that recreated the
+    partitions >> CPUs aggregator-starvation shape on small nodes."""
+    import inspect
+
+    import ray
+
+    from metacache_mpi_ray.stages.joins import default_num_partitions
+
+    n = default_num_partitions()
+    cpus = int(ray.cluster_resources().get("CPU"))
+    assert n == max(8, min(cpus, 512))
+
+    # every converted entry point defaults num_partitions to None
+    from metacache_mpi_ray.pipelines.dedup import near_dup_pipeline
+    from metacache_mpi_ray.pipelines.extend import extend_index
+    from metacache_mpi_ray.pipelines.incremental import (
+        build_index,
+        query_against_index,
+    )
+
+    for fn in (near_dup_pipeline, build_index, query_against_index, extend_index):
+        assert inspect.signature(fn).parameters["num_partitions"].default is None
