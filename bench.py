@@ -6,6 +6,9 @@ input_hint shape; generated once and cached under /tmp), plus secondary
 pipelines over the $GRAFT_SF_DIR testdata tables.
 
     python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --evidence  # one-command scaling-evidence refresh:
+                                # probe-gated lo->hi suite at 4M docs +
+                                # size-soak, appends a BASELINE.md row
     python bench.py --scaling   # fresh subprocesses at N and 4N CPUs
                                 # (GRAFT_SCALE_LO/HI, default 2 -> 8; see
                                 # BASELINE.md for why not 8 -> 32) on the
@@ -636,8 +639,91 @@ def run_scaling() -> dict:
     return out
 
 
+def run_evidence() -> dict:
+    """One-command scaling-evidence refresh (r4 VERDICT item 10): the
+    probe-gated lo->hi scaling suite at a LARGE fixed input (default 4M
+    docs — the input size where the fixed-per-execution-overhead
+    ceiling measured in rounds 3/4 vanishes) plus a small size-soak
+    curve, persisted as SCALING_EVIDENCE_<tag>.json and appended to
+    BASELINE.md as one table row. Knobs: GRAFT_SCALE_DOCS,
+    GRAFT_SCALE_REPS, GRAFT_EVIDENCE_SOAK (comma doc counts),
+    GRAFT_EVIDENCE_TAG."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    docs = int(os.environ.get("GRAFT_SCALE_DOCS", "4000000"))
+    os.environ["GRAFT_SCALE_DOCS"] = str(docs)  # run_scaling reads it
+    scaling = run_scaling()
+    soak_sizes = [
+        int(x)
+        for x in os.environ.get("GRAFT_EVIDENCE_SOAK", "120000,1000000").split(",")
+        if x.strip()
+    ]
+    soak = []
+    for n in soak_sizes:
+        _corpus_dir(n)  # generate outside timing
+        env = dict(
+            os.environ,
+            GRAFT_BENCH_DOCS=str(n),
+            GRAFT_HEADLINE_ONLY="1",
+            RAY_GRAFT_CPUS=str(NUM_CPUS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True, cwd=here,
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        soak.append(
+            {
+                "n_docs": r["n_docs"],
+                "sec": r["value"],
+                "docs_per_sec": r["docs_per_sec"],
+                "ray_probes": [r.get("ray_probe_start_sec"), r.get("ray_probe_sec")],
+            }
+        )
+    tag = os.environ.get(
+        "GRAFT_EVIDENCE_TAG", time.strftime("%Y%m%d-%H%M%S")
+    )
+    evidence = {
+        "generated_by": "python bench.py --evidence",
+        "tag": tag,
+        "scaling": scaling,
+        "soak": soak,
+    }
+    path = os.path.join(here, f"SCALING_EVIDENCE_{tag}.json")
+    with open(path, "w") as f:
+        json.dump(evidence, f, indent=1)
+    lo, hi = SCALE_LO, SCALE_HI
+    soak_txt = "; ".join(
+        f"{s['n_docs'] / 1000:g}k={s['docs_per_sec'] / 1000:.1f}k/s" for s in soak
+    )
+    row = (
+        f"| {time.strftime('%Y-%m-%d')} `{tag}` | {scaling['n_docs']:,} docs "
+        f"{lo}->{hi} x{len(scaling[f'all_sec_{lo}'])} | "
+        f"{scaling[f'sec_{lo}']:.1f} / {scaling[f'sec_{hi}']:.1f} s | "
+        f"raw {scaling['scaling_efficiency']:.3f} / paired "
+        f"{scaling['scaling_efficiency_paired']} | "
+        f"hw {scaling['hw_efficiency']:.3f} | {soak_txt} |\n"
+    )
+    header = "## Scaling evidence (`python bench.py --evidence`)"
+    baseline = os.path.join(here, "BASELINE.md")
+    text = open(baseline).read() if os.path.exists(baseline) else ""
+    if header not in text:
+        text += (
+            f"\n{header}\n\n"
+            "One row per refresh; full probe disclosure in the matching "
+            "`SCALING_EVIDENCE_<tag>.json`.\n\n"
+            "| when / tag | suite | sec lo/hi (median) | efficiency | "
+            "hw ceiling | soak throughput |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+    with open(baseline, "w") as f:
+        f.write(text + row)
+    return evidence
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--evidence" in sys.argv:
+        print(json.dumps(run_evidence()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
