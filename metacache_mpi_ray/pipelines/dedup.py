@@ -120,9 +120,17 @@ def near_dup_pipeline(
     # two-hash-join path only when the dup subset outgrows one object —
     # at web-scale dup rates the broadcast would otherwise become a
     # driver-memory scale-killer
+    # pre_deduped ONLY when dedupe_pairs actually ran: with the default
+    # dedupe_pairs=False the edges carry raw per-band multiplicity, and
+    # claiming them distinct makes the join fallback attach a 1 KB
+    # signature payload to EVERY raw edge row — at 4M docs (>2M distinct
+    # endpoints, past the broadcast limit) that re-created the measured
+    # >50 GB spill the _dedupe_and_prune guard exists to prevent
+    # (r5 evidence-suite incident; the 120k bench hides it because its
+    # endpoint set broadcasts)
     verified = verify_edges(
         edges, sigs, cfg, num_partitions=num_partitions, strategy="auto",
-        pre_deduped=True,  # edges = dedupe_edges output
+        pre_deduped=dedupe_pairs,
     ).materialize()
     if include_substring:
         # exact long-match substring edges (suffix/anchor stage, F6
