@@ -169,20 +169,68 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+#: REPL ``:set`` options -> (parser, validator). The reference's
+#: interactive shell accepts new QUERY options on any input line
+#: (mode_query.cpp:269-315); these are the query-time knobs that do
+#: not invalidate stored signatures.
+_REPL_OPTS = {
+    "top_k": (int, lambda v: v >= 1),
+    "verify_threshold": (float, lambda v: 0.0 <= v <= 1.0),
+    "bucket_cap": (int, lambda v: v >= 1),
+}
+
+
 def cmd_repl(args) -> int:
     """Interactive query shell (S13 analog, mode_query.cpp:269-315):
     each stdin line is queried against the in-RAM index; one JSON result
-    line per query. EOF or an empty line exits."""
+    line per query. Lines starting with ``:set <opt> <value>`` re-parse
+    query options for subsequent lines (the reference shell's
+    per-line option re-parsing); ``:options`` echoes the current ones.
+    EOF or an empty line exits."""
     _ensure_ray()
     from metacache_mpi_ray.pipelines.incremental import ReplIndex
 
     idx = ReplIndex(args.index)
+    opts = {"top_k": args.top_k, "verify_threshold": None, "bucket_cap": None}
     print(json.dumps({"mode": "repl", "index": args.index, "ready": True}))
     for line in sys.stdin:
         text = line.rstrip("\n")
         if not text:
             break
-        print(json.dumps(idx.query(text, top_k=args.top_k)))
+        if text == ":options":
+            print(json.dumps({"options": opts}))
+            continue
+        if text.startswith(":set "):
+            parts = text.split()
+            key = parts[1] if len(parts) == 3 else None
+            if key not in _REPL_OPTS:
+                print(
+                    json.dumps(
+                        {"error": f"usage: :set {{{'|'.join(_REPL_OPTS)}}} <value>"}
+                    )
+                )
+                continue
+            parse, valid = _REPL_OPTS[key]
+            try:
+                val = parse(parts[2])
+                if not valid(val):
+                    raise ValueError(parts[2])
+            except ValueError:
+                print(json.dumps({"error": f"bad value for {key}: {parts[2]!r}"}))
+                continue
+            opts[key] = val
+            print(json.dumps({"options": opts}))
+            continue
+        print(
+            json.dumps(
+                idx.query(
+                    text,
+                    top_k=opts["top_k"],
+                    verify_threshold=opts["verify_threshold"],
+                    bucket_cap=opts["bucket_cap"],
+                )
+            )
+        )
     return 0
 
 

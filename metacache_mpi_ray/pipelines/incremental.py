@@ -352,7 +352,20 @@ class ReplIndex:
             }
         )
 
-    def query(self, text: str, top_k: int = 5) -> dict:
+    def query(
+        self,
+        text: str,
+        top_k: int = 5,
+        *,
+        verify_threshold: float | None = None,
+        bucket_cap: int | None = None,
+    ) -> dict:
+        """One interactive lookup. ``verify_threshold`` / ``bucket_cap``
+        override the index config for THIS query only — the two
+        query-time knobs that do not invalidate stored signatures
+        (the reference's interactive shell re-parses query options per
+        input line, mode_query.cpp:269-315; the REPL CLI's ``:set``
+        maps onto these)."""
         from metacache_mpi_ray.functions.text import normalize_text_py
         from metacache_mpi_ray.stages.banding import _to_i63, band_hashes
         from metacache_mpi_ray.stages.candidates import _combine_keys
@@ -378,7 +391,7 @@ class ReplIndex:
         )
         lo = np.searchsorted(self.band_keys, qkeys, side="left")
         hi = np.searchsorted(self.band_keys, qkeys, side="right")
-        cap = self.cfg.bucket_cap
+        cap = self.cfg.bucket_cap if bucket_cap is None else int(bucket_cap)
         cand = np.unique(
             np.concatenate(
                 # over-cap buckets are non-discriminative and dropped,
@@ -399,7 +412,12 @@ class ReplIndex:
         found = self.sig_ids[pos] == cand
         cand, pos = cand[found], pos[found]
         est = (self.sig_mat[pos] == sig[0][None, :]).mean(axis=1)
-        keep = est >= self.cfg.verify_threshold
+        thresh = (
+            self.cfg.verify_threshold
+            if verify_threshold is None
+            else float(verify_threshold)
+        )
+        keep = est >= thresh
         cand, est = cand[keep], est[keep]
         order = np.argsort(-est)[:top_k]
         cp = np.minimum(np.searchsorted(self.cl_ids, cand), max(len(self.cl_ids) - 1, 0))

@@ -162,6 +162,50 @@ def test_cli_repl_mode(tmp_path, corpus_dir, capsys, monkeypatch):
     assert lines[2]["matched"] is False
 
 
+def test_cli_repl_option_reparsing(tmp_path, corpus_dir, capsys, monkeypatch):
+    """S13 parity (mode_query.cpp:269-315): the shell accepts new query
+    OPTIONS per input line — :set re-parses them for subsequent
+    queries, :options echoes them, bad input errors without exiting.
+    A verify_threshold of 1.01... is impossible, so 1.0 with a known
+    text still matches (exact copy) while a tightened top_k bounds the
+    match list."""
+    import io
+
+    from metacache_mpi_ray.__main__ import main
+
+    idx = str(tmp_path / "replopt")
+    assert main(["build", "--pages", f"{corpus_dir}/pages", "--index", idx,
+                 "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    pages = pq.read_table(f"{corpus_dir}/pages").to_pandas()
+    known = pages["text"].iloc[0]
+    script = "\n".join(
+        [
+            ":options",
+            ":set top_k 1",
+            ":set verify_threshold 1.0",
+            known,                      # exact copy: est_sim 1.0 still clears
+            ":set verify_threshold 0.2",
+            ":set bogus 3",             # error, shell keeps going
+            ":set top_k zero",          # bad value, shell keeps going
+            known,
+        ]
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(script + "\n"))
+    assert main(["repl", "--index", idx]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["ready"] is True
+    assert lines[1]["options"]["top_k"] == 5  # the CLI default echoed
+    assert lines[2]["options"]["top_k"] == 1
+    assert lines[3]["options"]["verify_threshold"] == 1.0
+    assert lines[4]["matched"] is True and len(lines[4]["matches"]) == 1
+    assert lines[4]["matches"][0]["est_sim"] == 1.0
+    assert lines[5]["options"]["verify_threshold"] == 0.2
+    assert "error" in lines[6] and "error" in lines[7]
+    assert lines[8]["matched"] is True
+
+
 def test_annotate_duplicate_mapping_keys_rejected():
     """r3 review regression: a duplicate-keyed mapping must fail with a
     clear error, not an opaque Arrow length mismatch mid-pipeline."""
