@@ -198,6 +198,20 @@ def extend_index(
     if os.path.exists(staging):
         shutil.rmtree(staging)
 
+    # per-phase wall times -> metrics.jsonl (r4 verdict item 6: make
+    # the sorted-staging cost visible instead of re-deriving it from
+    # bench deltas; A7/timer analog, classification_statistics.h)
+    import time as _time
+
+    phases: dict[str, float] = {}
+    t_all = t_ph = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal t_ph
+        now = _time.time()
+        phases[name] = round(now - t_ph, 3)
+        t_ph = now
+
     # 1. sign + band ONLY the new batch; stage the artifacts. Sorted by
     # doc_id like build_index's signature artifact, so the appended
     # files keep tight footer id ranges and the query path's
@@ -211,8 +225,10 @@ def extend_index(
     if sigs_new.count() == 0:
         return _read_stage(ckpt_root, "clusters")
     sigs_new.write_parquet(os.path.join(staging, "signatures"))
+    _mark("sign_sort_stage")
     bands_new = _band_keys(sigs_new, cfg, "doc_id").materialize()
     bands_new.write_parquet(os.path.join(staging, "bands"))
+    _mark("band_stage")
 
     # 2. probe stored+new band buckets for every candidate pair that
     # touches a new doc (new x stored AND new x new)
@@ -262,6 +278,7 @@ def extend_index(
         pairs, sigs_all, cfg, num_partitions=num_partitions
     ).materialize()
     verified.write_parquet(os.path.join(staging, "verified"))
+    _mark("probe_verify")
 
     # 4. contract: endpoints found in the stored clusters artifact map
     # to their old cluster id; everything stays off-driver (refs only)
@@ -281,6 +298,7 @@ def extend_index(
         _merge_forests.remote(lref, *[r for pair in forests for r in pair])
     )
     bref = ray.put((nodes, labels, stored_eps))
+    _mark("contract")
 
     # 5. rewrite clusters: old rows remapped through the touched-cluster
     # map; new rows assigned from the contracted labels. Broadcast size
@@ -330,6 +348,7 @@ def extend_index(
     )
     clusters_tmp = os.path.join(staging, "clusters")
     updated.write_parquet(clusters_tmp)
+    _mark("rewrite_clusters")
 
     # 6. commit: journal the renames, then roll forward
     moves = []
@@ -356,4 +375,14 @@ def extend_index(
         json.dump(journal, f, indent=1)
     os.replace(journal_path + ".tmp", journal_path)
     _install_files(ckpt_root, journal_path)
+    _mark("commit")
+    try:
+        from metacache_mpi_ray.state.metrics import MetricsRecorder
+
+        MetricsRecorder(ckpt_root).record(
+            "extend_index", rows_out=lineage["n_new"], t_start=t_all,
+            phases=phases, **lineage,
+        )
+    except OSError:
+        pass  # read-only root: telemetry is best-effort
     return _read_stage(ckpt_root, "clusters")

@@ -348,3 +348,25 @@ def test_extend_empty_batch_is_noop(built_a):
     )
     pd.testing.assert_frame_equal(_canon(out.to_pandas()), before)
     assert not os.path.exists(os.path.join(root, "extends.json"))
+
+
+def test_extend_records_phase_timings(built_a):
+    """Each extend appends one metrics.jsonl row with per-phase wall
+    times (r4 verdict item 6: the sorted-staging cost must be visible
+    in telemetry, not re-derived from bench deltas)."""
+    root, _, _ = built_a
+    b_ids = np.arange(3000, 3020, dtype=np.int64)
+    extend_index(_token_docs(b_ids), root, CFG, num_partitions=4,
+                 batch_id="phase-timing")
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(root, "metrics.jsonl"))
+        if l.strip()
+    ]
+    ext = [r for r in rows if r["stage"] == "extend_index"]
+    assert ext, "no extend_index telemetry row"
+    ph = ext[-1]["phases"]
+    assert {"sign_sort_stage", "band_stage", "probe_verify", "contract",
+            "rewrite_clusters", "commit"} <= set(ph)
+    assert ext[-1]["n_new"] == 20
+    assert abs(sum(ph.values()) - ext[-1]["seconds"]) < 1.5
