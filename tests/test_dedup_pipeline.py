@@ -136,3 +136,28 @@ def test_pipeline_block_size_invariant(corpus_dir):
     assert len(m) == len(base)
     assert (m["cluster_id_x"] == m["cluster_id_y"]).all()
     assert (m["is_dup_x"] == m["is_dup_y"]).all()
+
+
+def test_flagship_only_claims_prededuped_when_it_deduped(monkeypatch, corpus_dir):
+    """r5 incident pin: with the default dedupe_pairs=False the
+    flagship's edges carry raw per-band multiplicity, and verify MUST
+    NOT be told they are distinct — that claim disables the join
+    fallback's distinct-pairs guard and re-creates the measured
+    payload-times-multiplicity spill at 4M docs. White-box: capture the
+    kwarg for both settings."""
+    import metacache_mpi_ray.pipelines.dedup as dd
+
+    seen = {}
+    real = dd.verify_edges
+
+    def spy(edges, sigs, cfg, **kw):
+        seen[kw.get("pre_deduped", False)] = True
+        return real(edges, sigs, cfg, **kw)
+
+    monkeypatch.setattr(dd, "verify_edges", spy)
+    docs = ingest_pages(rd.read_parquet(f"{corpus_dir}/pages")).materialize()
+    dd.near_dup_pipeline(docs, CFG, num_partitions=4, dedupe_pairs=False)
+    assert seen == {False: True}
+    seen.clear()
+    dd.near_dup_pipeline(docs, CFG, num_partitions=4, dedupe_pairs=True)
+    assert seen == {True: True}
