@@ -42,6 +42,17 @@ def load_rounds() -> dict[int, dict]:
     return rounds
 
 
+def load_self_drives() -> dict[int, dict]:
+    """DRIVE_FULL_r{N}.json — the committed full-registry self-drive
+    (tools/drive_entry.py --json): same oracles, no 50-query cap."""
+    drives = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "DRIVE_FULL_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if m:
+            drives[int(m.group(1))] = json.load(open(f)).get("queries", {})
+    return drives
+
+
 def row_status(row: dict) -> str:
     """green = all three matches true; rows_only = the driver recorded
     err='no_oracle' with a row count (the weaker rows-only check); red =
@@ -59,6 +70,7 @@ def build_report():
     reg = registry_order()
     oracles = oracle_keys()
     rounds = load_rounds()
+    drives = load_self_drives()
     latest_round = max(rounds) if rounds else 0
     rows = []
     for pos, q in enumerate(reg):
@@ -66,6 +78,12 @@ def build_report():
         for r in sorted(rounds, reverse=True):
             if q in rounds[r]:
                 newest, status = r, row_status(rounds[r][q])
+                break
+        drive_status = None
+        for r in sorted(drives, reverse=True):
+            if q in drives[r]:
+                s = drives[r][q]["status"]
+                drive_status = f"r{r} {'green' if s == 'pass' else s}"
                 break
         rows.append(
             {
@@ -76,6 +94,7 @@ def build_report():
                 "status": status,
                 "stale_rounds": (latest_round - newest) if newest else None,
                 "in_next_window": pos < 50,
+                "self_drive": drive_status,
             }
         )
     return rows, latest_round
@@ -89,8 +108,8 @@ def main() -> int:
     lines = [
         f"# CORRECTNESS union (through round {latest})",
         "",
-        "| query | check | last green | stale (rounds) | next window |",
-        "|---|---|---|---|---|",
+        "| query | check | last green | stale (rounds) | next window | self-drive |",
+        "|---|---|---|---|---|---|",
     ]
     bad = 0
     for r in rows:
@@ -100,6 +119,7 @@ def main() -> int:
         lines.append(
             f"| {r['query']} | {kind} | {last} | {stale} |"
             f" {'yes' if r['in_next_window'] else ''} |"
+            f" {r['self_drive'] or ''} |"
         )
         if r["status"] == "red":
             bad += 1
@@ -114,10 +134,19 @@ def main() -> int:
         (r["stale_rounds"] for r in rows if r["oracle"] and r["stale_rounds"] is not None),
         default=0,
     )
+    n_drive_green = sum(
+        1 for r in rows if r["self_drive"] and r["self_drive"].endswith("green")
+    )
+    n_drive_bad = sum(
+        1 for r in rows
+        if r["self_drive"] and r["self_drive"].split()[-1] in ("fail", "error")
+    )
+    bad += n_drive_bad
     summary = (
         f"{len(rows)} registered ({n_oracle} oracle-backed); "
         f"{n_green} oracle-green all-time, {n_never} never driven; "
-        f"max oracle staleness {max_oracle_stale} round(s)"
+        f"max oracle staleness {max_oracle_stale} round(s); "
+        f"self-drive: {n_drive_green} green, {n_drive_bad} red"
     )
     lines += ["", summary, ""]
     text = "\n".join(lines)
