@@ -508,7 +508,7 @@ def q_query_vs_index(sf_dir: str):
     key = hashlib.sha1(
         f"{sf_dir}|{n_rows}|{st.st_mtime_ns}|{st.st_size}|{CFG.to_json()}|qidx-v1".encode()
     ).hexdigest()[:12]
-    root = f"/tmp/metacache_qidx_{key}"
+    root = os.path.join(_private_cache_dir(), f"qidx_{key}")
     a_docs = ingest_documents(ids_ds.map_batches(build_a, batch_format="pyarrow"))
     build_index(a_docs, CFG, root, num_partitions=8)
     b_docs = ingest_documents(ids_ds.map_batches(build_b, batch_format="pyarrow"))
@@ -562,7 +562,7 @@ def q_extend_index_planted(sf_dir: str):
     key = hashlib.sha1(
         f"{sf_dir}|{n_rows}|{st.st_mtime_ns}|{st.st_size}|{CFG.to_json()}|extidx-v1".encode()
     ).hexdigest()[:12]
-    root = f"/tmp/metacache_extidx_{key}"
+    root = os.path.join(_private_cache_dir(), f"extidx_{key}")
     a_docs = ingest_documents(ids_ds.map_batches(build_orig, batch_format="pyarrow"))
     build_index(a_docs, CFG, root, num_partitions=8)
     # fixed per-key work dir, recreated per run: a fresh mkdtemp per
@@ -1194,7 +1194,7 @@ def q_ivf_topk(sf_dir: str):
     key = hashlib.sha1(
         f"{src}|{st.st_mtime_ns}|{st.st_size}|ivf-v1".encode()
     ).hexdigest()[:12]
-    idx_dir = f"/tmp/metacache_ivf_{key}"
+    idx_dir = os.path.join(_private_cache_dir(), f"ivf_{key}")
     emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         build_ivf_index(emb, idx_dir, n_cells=8, seed=3, train_sample=2048)
