@@ -143,3 +143,35 @@ def test_run_report_empty_clusters(tmp_path):
     )
     rep = write_run_report(empty, str(tmp_path))
     assert rep == {"n_docs": 0, "n_dups": 0, "dup_rate": 0.0, "size_histogram": {}}
+
+
+def test_private_cache_dir_owned_and_0700(tmp_path, monkeypatch):
+    """The synthesized-input caches (textfile/qidx/extidx/ivf) share one
+    per-user directory that must be owner-only even when an attacker
+    pre-creates the predictable name (r4 ADVICE item 5)."""
+    import os
+    import stat
+    import tempfile
+
+    from metacache_mpi_ray.pipelines.queries import _private_cache_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    d = _private_cache_dir()
+    assert d == str(tmp_path / f"metacache-{os.getuid()}")
+    st = os.lstat(d)
+    assert stat.S_ISDIR(st.st_mode)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o077)  # no group/other access
+
+    # second call reuses the validated dir
+    assert _private_cache_dir() == d
+
+    # attacker pre-created the name with open permissions: the helper
+    # must refuse it and fall back to a fresh private mkdtemp
+    os.chmod(d, 0o777)
+    fallback = _private_cache_dir()
+    assert fallback != d
+    st2 = os.lstat(fallback)
+    assert st2.st_uid == os.getuid()
+    assert not (st2.st_mode & 0o077)
